@@ -1,0 +1,98 @@
+"""Regularization — snap an irregular series to its time-step grid.
+
+The reference delegates to ``haggregate.regularize`` (not vendored);
+observable contract from the goldens
+(/root/reference/enhydris_autoprocess/models.py:479-481;
+tests/test_models.py:941-1044): source at nominal 10-min cadence with
+off-grid rows 10:21 and 10:31 aggregates as if those rows sat at 10:20
+and 10:30 — i.e. each grid point takes the value of the nearest source
+record within step/2. tests/test_models.py:1087-1130 pins the mode
+choice (mean -> INSTANTANEOUS, else INTERVAL); the goldens do not
+distinguish the modes' value semantics, so both snap
+nearest-within-half-step here (documented divergence risk, SURVEY.md
+§7 watch-list (a)).
+
+Implementation (no UDFs):
+1. grid = half-up rounding of epoch micros to the step;
+2. per (key, grid) keep the record nearest the grid point
+   (ties -> earliest) via one row_number window;
+3. rows whose original ts moved get flag "DATEINSERT" appended
+   (new_date_flag, models.py:481);
+4. optionally complete the grid per key (sequence + join) with
+   NaN/"" rows, mirroring haggregate's full-grid output. The
+   aggregation path doesn't need completion (MISS counting is
+   ratio-based), so the pipeline calls with complete=False and skips
+   that shuffle.
+
+Scale: one shuffle on (key, grid) for the dedup window; grid
+completion adds a per-key agg + one join. Both partition by key and
+are skew-safe under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..flags import append_flag
+from ..schema import NAN
+from ..timeutil import MICROS, Step
+
+INSTANTANEOUS = "INSTANTANEOUS"
+INTERVAL = "INTERVAL"
+
+
+def mode_for_method(method: str) -> str:
+    """mean -> INSTANTANEOUS else INTERVAL (models.py:479-480)."""
+    return INSTANTANEOUS if method == "mean" else INTERVAL
+
+
+def regularize(
+    df: DataFrame,
+    step: Step,
+    mode: str = INTERVAL,  # noqa: ARG001 — kept for parity; see module doc
+    complete: bool = False,
+    new_date_flag: str = "DATEINSERT",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    flags_col: str = "flags",
+) -> DataFrame:
+    step_us = step.micros
+    micros = F.unix_micros(F.col(ts_col))
+    # Half-up rounding: floor((t + step/2) / step) * step.
+    grid = F.floor((micros + F.lit(step_us // 2)) / F.lit(step_us)) * F.lit(step_us)
+    dist = F.abs(micros - grid)
+
+    w = Window.partitionBy(key_col, "__grid").orderBy("__dist", ts_col)
+    out = (
+        df.withColumn("__grid", grid)
+        .withColumn("__dist", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .withColumn(
+            flags_col,
+            append_flag(F.col(flags_col), F.col("__dist") > 0, new_date_flag),
+        )
+        .withColumn(ts_col, F.timestamp_micros(F.col("__grid")))
+        .drop("__dist", "__rn")
+    )
+
+    if complete:
+        spans = out.groupBy(key_col).agg(
+            F.min("__grid").alias("__g0"), F.max("__grid").alias("__g1")
+        )
+        full = spans.select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("__g0"), F.col("__g1"), F.lit(step_us))
+            ).alias("__grid"),
+        )
+        out = (
+            full.join(out.drop(ts_col), [key_col, "__grid"], "left")
+            .withColumn(ts_col, F.timestamp_micros(F.col("__grid")))
+            .withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))
+            .withColumn(flags_col, F.coalesce(F.col(flags_col), F.lit("")))
+        )
+
+    return out.drop("__grid")
