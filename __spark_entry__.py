@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2 + the
+training-data ops) over the driver's parquet tables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one.
+Operators whose kernels are not SQL-expressible (MinHash/SimHash LSH,
+sign-LSH ANN) ship without an oracle (rows-only check) but are pinned
+by pytest with planted duplicates instead (tests/test_textops.py).
+
+Conventions shared by both sides so the value-hash comparison is
+byte-stable:
+- pipeline-internal NaN becomes NULL at this boundary (nan_to_null);
+- every arithmetically-computed double is round(x, 6);
+- count-like columns are cast to long/BIGINT;
+- ties in top-k are broken by neighbor id.
 """
 
 from __future__ import annotations
@@ -12,27 +20,564 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from enhydris_autoprocess_spark.config import (
+    AggregationConfig,
+    CurveInterpolationConfig,
+    CurvePeriod,
+    RangeCheckConfig,
+    RateOfChangeConfig,
+    RoccThreshold,
+)
+from enhydris_autoprocess_spark.operators import (
+    curve_interpolation,
+    gap_fill,
+    range_check,
+    rate_of_change_check,
+    regularize,
+)
+from enhydris_autoprocess_spark.operators.aggregate import (
+    aggregate_step,
+    source_end_frame,
+    trim_last_if_incomplete,
+)
+from enhydris_autoprocess_spark.schema import nan_to_null
+from enhydris_autoprocess_spark.textops import (
+    brute_force_cosine_topk,
+    document_fingerprint,
+    exact_dedup,
+    language_id,
+    lsh_cosine_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_dedup_pairs,
+    token_stats,
+)
+from enhydris_autoprocess_spark.timeutil import parse_step
+
+import datetime as dt
+
+
+def round6(c):
+    """Cross-engine-stable 6-dp rounding: floor(x*1e6 + 0.5)/1e6.
+
+    Spark's round() (BigDecimal HALF_UP on the exact binary value) and
+    DuckDB's round() disagree on values that land exactly on a .5e-6
+    boundary — which interpolated values do systematically, since gap
+    fractions have small power-of-two denominators. floor-based
+    rounding is pure IEEE arithmetic, hence bit-identical everywhere.
+    """
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a (user_id-keyed) flagged series."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value"),
+        F.lit("").alias("flags"),
+    )
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- reference-family operators over events ---------------------------------
+
+RANGE_CFG = RangeCheckConfig(5.0, 450.0, 20.0, 400.0)
+ROCC_CFG = RateOfChangeConfig(
+    (RoccThreshold("30min", 40.0), RoccThreshold("1H", 60.0)), symmetric=False
+)
+CURVE_CFG = CurveInterpolationConfig(
+    (
+        CurvePeriod(
+            dt.date(2024, 1, 1),
+            dt.date(2024, 12, 31),
+            ((0.0, 10.0), (100.0, 60.0), (400.0, 360.0)),
+        ),
+    )
+)
+AGG_CFG = AggregationConfig("H", "sum", max_missing=8, resulting_timestamp_offset="1min")
+
+
+def q_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = range_check(_events_series(spark, sf_dir), RANGE_CFG)
+    return out.select(
+        "event_id", nan_to_null(F.col("value")).alias("value_out"), "flags"
+    )
+
+
+def q_rocc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = rate_of_change_check(
+        _events_series(spark, sf_dir), ROCC_CFG, key_col="user_id"
+    )
+    return out.select(
+        "event_id", nan_to_null(F.col("value")).alias("value_out"), "flags"
+    )
+
+
+def q_curve_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = curve_interpolation(_events_series(spark, sf_dir), CURVE_CFG)
+    return out.select(
+        "event_id",
+        F.round(nan_to_null(F.col("value")), 6).alias("value_out"),
+        "flags",
+    )
+
+
+def q_regularize_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = regularize(
+        _events_series(spark, sf_dir).select("user_id", "ts", "value", "flags"),
+        parse_step("10min"),
+        key_col="user_id",
+    )
+    return out.select("user_id", "ts", "value", "flags")
+
+
+def q_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly sum per event_type (assumed 10min source step => 6
+    expected slots; max_missing 4 => min_count 2), offset 1min,
+    trim-last — the full A1-A3+W5 semantics on real data density."""
+    src = _events(spark, sf_dir).select(
+        F.col("event_type"), "ts", "value", F.lit("").alias("flags")
+    )
+    agg = aggregate_step(
+        src,
+        parse_step("10min"),
+        parse_step("H"),
+        "sum",
+        max_missing=4,
+        offset_minutes=1,
+        key_col="event_type",
+    )
+    agg = trim_last_if_incomplete(
+        agg, source_end_frame(src, "event_type"), key_col="event_type"
+    )
+    return agg.select(
+        "event_type",
+        "ts",
+        F.round("value", 6).alias("value_sum"),
+        F.col("n_present").cast("long").alias("n_present"),
+        "flags",
+    )
+
+
+def q_gapfill_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = q_regularize_10min(spark, sf_dir)
+    out = gap_fill(reg, parse_step("10min"), key_col="user_id")
+    return out.select(
+        "user_id",
+        "ts",
+        round6(nan_to_null(F.col("value"))).alias("value_filled"),
+        "flags",
+    )
+
+
+# --- rollup tiers over events ------------------------------------------------
+
+
+def _bucket(ts, step_us: int):
+    us = F.unix_micros(ts)
+    return F.timestamp_micros(us + (F.lit(step_us) - us % F.lit(step_us)) % F.lit(step_us))
+
+
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", _bucket(F.col("ts"), 3600_000_000).alias("ts"), "value"
+    )
+    out = ev.groupingSets(
+        [["user_id", "ts"], ["user_id", "event_type", "ts"]],
+        "user_id",
+        "event_type",
+        "ts",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+    return out.withColumn("event_type", F.coalesce("event_type", F.lit("<all>")))
+
+
+def q_tier_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1d tier COMPOSED from the 1h tier (lossless stats) — must equal
+    the oracle's direct daily aggregation (tier-by-tier equality)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", _bucket(F.col("ts"), 3600_000_000).alias("ts"), "value"
+    )
+    t1h = ev.groupBy("user_id", "ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("value_sum"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+    t1d = (
+        t1h.withColumn("ts", _bucket(F.col("ts") - F.expr("INTERVAL 1 MICROSECOND"), 86400_000_000))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("value_sum"), 6).alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+    )
+    return t1d
+
+
+# --- training-data ops --------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = exact_dedup(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id", "content_hash", "dup_of", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = token_stats(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_subwords_est").cast("long").alias("n_subwords_est"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return document_fingerprint(_documents(spark, sf_dir)).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir), k=3, threshold=0.2
+    ).select("id_a", "id_b", round6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5)
+    out = brute_force_cosine_topk(emb, q, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
+# --- no-oracle (rows-only) ops ------------------------------------------------
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup_pairs(
+        _documents(spark, sf_dir), threshold=0.5
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dedup_pairs(_documents(spark, sf_dir), max_hamming=8)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5)
+    return lsh_cosine_topk(emb, q, k=5, dim=64, bands=8, bits_per_band=8)
+
+
+# -------------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: checks -> regularize -> hourly aggregation over the
+    sf0.001 events series (the reference's E1 pipeline shape)."""
+    sf_dir = "/root/testdata/sf0.001"
+    src = _events_series(spark, sf_dir).select("user_id", "ts", "value", "flags")
+    checked = rate_of_change_check(
+        range_check(src, RANGE_CFG), ROCC_CFG, key_col="user_id"
+    )
+    reg = regularize(checked, parse_step("10min"), key_col="user_id")
+    agg = aggregate_step(
+        reg,
+        parse_step("10min"),
+        parse_step("H"),
+        "sum",
+        max_missing=4,
+        offset_minutes=1,
+        key_col="user_id",
+    )
+    agg = trim_last_if_incomplete(
+        agg, source_end_frame(checked, "user_id"), key_col="user_id"
+    )
+    return agg.select(
+        "user_id", "ts", nan_to_null(F.col("value")).alias("value"), "flags"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "range_check": q_range_check,
+        "rocc_check": q_rocc_check,
+        "curve_interp": q_curve_interp,
+        "regularize_10min": q_regularize_10min,
+        "agg_hourly": q_agg_hourly,
+        "gapfill_10min": q_gapfill_10min,
+        "rollup_hourly": q_rollup_hourly,
+        "tier_1d_from_1h": q_tier_1d_from_1h,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_EN = "('the','a','of','and','to')"
+_STOP_DE = "('der','die','und','das','ein')"
+_STOP_FR = "('le','la','et','les','des')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "range_check": """
+            SELECT event_id,
+              CASE WHEN value < 5.0 OR value > 450.0 THEN NULL ELSE value END AS value_out,
+              CASE WHEN value < 5.0 OR value > 450.0 THEN 'RANGE'
+                   WHEN value < 20.0 OR value > 400.0 THEN 'SUSPECT'
+                   ELSE '' END AS flags
+            FROM events
+        """,
+        "rocc_check": """
+            WITH w AS (
+              SELECT event_id, value,
+                min(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
+                  RANGE BETWEEN 1800 PRECEDING AND 1 PRECEDING) AS mn30,
+                min(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
+                  RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS mn60
+              FROM events)
+            SELECT event_id,
+              CASE WHEN (value - mn30 > 40.0) OR (value - mn60 > 60.0)
+                   THEN NULL ELSE value END AS value_out,
+              CASE WHEN (value - mn30 > 40.0) OR (value - mn60 > 60.0)
+                   THEN 'TEMPORAL' ELSE '' END AS flags
+            FROM w
+        """,
+        "curve_interp": """
+            SELECT event_id,
+              CASE WHEN value < 0.0 OR value > 400.0 THEN NULL
+                   WHEN value <= 100.0 THEN round(10.0 + (value - 0.0) * 0.5, 6)
+                   ELSE round(60.0 + (value - 100.0) * 1.0, 6) END AS value_out,
+              '' AS flags
+            FROM events
+        """,
+        "regularize_10min": """
+            WITH g AS (
+              SELECT user_id, value, epoch_us(ts) AS us,
+                (epoch_us(ts) + 300000000) - (epoch_us(ts) + 300000000) % 600000000 AS grid
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, grid ORDER BY abs(us - grid), us) AS rn
+              FROM g)
+            SELECT user_id, make_timestamp(grid) AS ts, value,
+              CASE WHEN us <> grid THEN 'DATEINSERT' ELSE '' END AS flags
+            FROM r WHERE rn = 1
+        """,
+        "agg_hourly": """
+            WITH src AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+            b AS (SELECT event_type, value, us,
+                    us + (3600000000 - us % 3600000000) % 3600000000 AS bend
+                  FROM src),
+            g AS (SELECT event_type, bend, sum(value) AS s, count(value) AS n
+                  FROM b GROUP BY 1, 2),
+            m AS (SELECT event_type, max(us) AS src_end FROM src GROUP BY 1),
+            f AS (SELECT g.event_type, g.bend, g.s, g.n, m.src_end,
+                    max(g.bend) OVER (PARTITION BY g.event_type) AS maxb
+                  FROM g JOIN m USING (event_type)
+                  WHERE g.n >= 2)
+            SELECT event_type, make_timestamp(bend - 60000000) AS ts,
+              round(s, 6) AS value_sum, n AS n_present,
+              CASE WHEN n < 6 THEN 'MISS' ELSE '' END AS flags
+            FROM f
+            WHERE NOT (bend = maxb AND n < 6 AND src_end < bend)
+        """,
+        "gapfill_10min": """
+            WITH g AS (
+              SELECT user_id, value, epoch_us(ts) AS us,
+                (epoch_us(ts) + 300000000) - (epoch_us(ts) + 300000000) % 600000000 AS grid
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, grid ORDER BY abs(us - grid), us) AS rn
+              FROM g),
+            reg AS (SELECT user_id, grid, value,
+                      CASE WHEN us <> grid THEN 'DATEINSERT' ELSE '' END AS flags
+                    FROM r WHERE rn = 1),
+            spans AS (SELECT user_id, min(grid) AS g0, max(grid) AS g1
+                      FROM reg GROUP BY 1),
+            grid_full AS (SELECT user_id, unnest(generate_series(g0, g1, 600000000)) AS grid
+                          FROM spans),
+            j AS (SELECT gf.user_id, gf.grid, reg.value, reg.flags
+                  FROM grid_full gf LEFT JOIN reg USING (user_id, grid)),
+            anch AS (SELECT user_id, grid, value, flags,
+                last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY grid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                last_value(CASE WHEN value IS NOT NULL THEN grid END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY grid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+                first_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY grid
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN value IS NOT NULL THEN grid END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY grid
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+              FROM j)
+            SELECT user_id, make_timestamp(grid) AS ts,
+              floor((CASE WHEN value IS NOT NULL THEN value
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   THEN pv + ((grid - pt) / (nt - pt)) * (nv - pv)
+                   ELSE NULL END) * 1000000 + 0.5) / 1000000 AS value_filled,
+              CASE WHEN value IS NOT NULL THEN flags
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'DATEINSERT FILLED'
+                   ELSE 'DATEINSERT' END AS flags
+            FROM anch
+        """,
+        "rollup_hourly": """
+            WITH b AS (
+              SELECT user_id, event_type, value,
+                make_timestamp(epoch_us(ts) + (3600000000 - epoch_us(ts) % 3600000000) % 3600000000) AS ts
+              FROM events)
+            SELECT user_id, coalesce(event_type, '<all>') AS event_type, ts,
+              count(*) AS n_events, round(sum(value), 6) AS value_sum,
+              min(value) AS value_min, max(value) AS value_max
+            FROM b
+            GROUP BY GROUPING SETS ((user_id, ts), (user_id, event_type, ts))
+        """,
+        "tier_1d_from_1h": """
+            WITH b AS (
+              SELECT user_id, value,
+                make_timestamp(epoch_us(ts) + (86400000000 - epoch_us(ts) % 86400000000) % 86400000000) AS ts
+              FROM events)
+            SELECT user_id, ts, count(*) AS n_events,
+              round(sum(value), 6) AS value_sum,
+              min(value) AS value_min, max(value) AS value_max
+            FROM b GROUP BY 1, 2
+        """,
+        "dedup_exact": r"""
+            WITH h AS (
+              SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+              FROM documents)
+            SELECT doc_id, content_hash,
+              CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
+                   THEN min(doc_id) OVER (PARTITION BY content_hash) END AS dup_of,
+              count(*) OVER (PARTITION BY content_hash) AS group_size
+            FROM h
+        """,
+        "token_stats": """
+            SELECT doc_id,
+              len(string_split(trim(text), ' ')) AS n_tokens,
+              length(text) AS n_chars,
+              CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                         length(text) AS nc FROM documents),
+            s AS (SELECT doc_id, nc, len(w) AS nt,
+                    len(list_filter(w, x -> x IN {_STOP_EN})) AS sw
+                  FROM t)
+            SELECT doc_id,
+              floor((0.4 * least(nc / 500.0, 1.0)
+                  + 0.3 * (1.0 - sw / nt)
+                  + 0.3 * least(((nc - (nt - 1)) / nt) / 8.0, 1.0)) * 1000000 + 0.5)
+                / 1000000 AS quality,
+              floor(sw / nt * 1000000 + 0.5) / 1000000 AS stopword_ratio
+            FROM s
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id,
+                         string_split(trim(lower(text)), ' ') AS w FROM documents),
+            s AS (SELECT doc_id,
+                    len(list_filter(w, x -> x IN {_STOP_EN})) AS s_en,
+                    len(list_filter(w, x -> x IN {_STOP_DE})) AS s_de,
+                    len(list_filter(w, x -> x IN {_STOP_FR})) AS s_fr
+                  FROM t)
+            SELECT doc_id, CASE
+              WHEN s_en > greatest(1, s_fr, s_de) THEN 'en'
+              WHEN s_de > greatest(1, s_fr) THEN 'de'
+              WHEN s_fr > 1 THEN 'fr'
+              ELSE 'und' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+              substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+                AS fingerprint
+            FROM documents
+        """,
+        "ngram_jaccard": r"""
+            WITH t AS (
+              SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                list_distinct([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+              FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              floor(len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(list_concat(a.s, b.s))) * 1000000 + 0.5)
+                / 1000000 AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (SELECT query_id, neighbor_id,
+                    floor(list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                          * 1000000 + 0.5) / 1000000 AS score
+                  FROM q, c WHERE query_id <> neighbor_id),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
+        """,
+    }

@@ -113,6 +113,7 @@ def aggregate_step(
             ).alias(ts_col),
             F.col("__agg").alias(value_col),
             F.col(flags_col),
+            F.col("__n").alias("n_present"),
             F.col("__bend"),
         )
     )
@@ -187,4 +188,4 @@ def aggregate(
         agg = trim_last_if_incomplete(
             agg, source_end_frame(df, key_col, ts_col), key_col, flags_col
         )
-    return agg.drop("__bend")
+    return agg.drop("__bend", "n_present")

@@ -124,12 +124,20 @@ def gap_fill(
 ) -> DataFrame:
     """Grid-complete then interpolate inside ``applyInPandas`` per key."""
     completed = complete_grid(df, step, key_col, ts_col, value_col, flags_col)
-    schema = completed.schema
+    # Arrow from_pandas turns float NaN into null on the way back from
+    # the UDF, so the output schema must be nullable and NaN restored
+    # after (NaN-vs-NULL discipline, SURVEY.md §7 watch-list (c)).
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in completed.schema.fields]
+    )
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
         return _fill_pdf(pdf, ts_col, value_col, flags_col, max_gap_slots, fill_flag)
 
-    return completed.groupBy(key_col).applyInPandas(fill, schema=schema)
+    out = completed.groupBy(key_col).applyInPandas(fill, schema=schema)
+    return out.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))
 
 
 def gap_fill_sql(

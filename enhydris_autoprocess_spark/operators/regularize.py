@@ -60,8 +60,11 @@ def regularize(
 ) -> DataFrame:
     step_us = step.micros
     micros = F.unix_micros(F.col(ts_col))
-    # Half-up rounding: floor((t + step/2) / step) * step.
-    grid = F.floor((micros + F.lit(step_us // 2)) / F.lit(step_us)) * F.lit(step_us)
+    # Half-up rounding: floor((t + step/2) / step) * step — pure long
+    # arithmetic (pmod) so the result is bit-identical to the integer
+    # oracles (numpy //, DuckDB //) at any epoch.
+    shifted = micros + F.lit(step_us // 2)
+    grid = shifted - F.pmod(shifted, F.lit(step_us))
     dist = F.abs(micros - grid)
 
     w = Window.partitionBy(key_col, "__grid").orderBy("__dist", ts_col)

@@ -1,0 +1,272 @@
+"""Pipeline orchestration — the Spark lifecycle replacing the
+reference's signal -> Celery -> execute() chain (E1 in SURVEY.md §3).
+
+DAG per run (batch, ``availableNow``-style):
+
+    transcripts (initial)
+        -> checked                  (derive channel, checks, gap-fill)
+        -> agg tiers                (regularize -> aggregate, per config)
+        -> rollup 1min -> 1H -> 1D  (continuous aggregates)
+
+Each stage: read HWM checkpoint -> incremental slice -> transform ->
+TierTable.append (atomic) -> advance HWM, with lineage (source ->
+target snapshot) and throughput metrics recorded on both the snapshot
+properties and the checkpoint run log (north rule).
+
+Incremental contract (matches the reference's, coarsened): the
+reference reads each series from ``target.end_date + 1min``
+(models.py:61-65), i.e. it assumes per-series event-time-monotone
+ingestion. Here the checkpoint key is the hash-bucket of conv_id
+(per-partition checkpoints at 10^12-turn scale), so the contract is
+monotone ingestion per bucket. HWM advancement is stage-aware:
+
+- ``checked``: max processed source ts per bucket (raw rows are final
+  the moment they're checked);
+- aggregated/rollup tiers: max EMITTED bucket-end per bucket — a
+  trimmed (MISS) or boundary-incomplete bucket stays below the HWM, so
+  its source rows are re-read and the bucket recomputed when more data
+  arrives — the distributed generalization of the reference's
+  trim-last-and-recompute (models.py:513-533).
+
+Idempotence: re-running with no new source rows appends nothing
+(mirrors "already-complete target yields empty",
+tests/test_models.py:1021-1028). Kill between append and advance =
+one slice reprocessed; tier rows are keyed by (key, ts) so readers
+dedup naturally (at-least-once, like Celery redelivery in the
+reference).
+
+Skew: aggregations are partial+final (map-side combine absorbs hot
+conv_ids); the only per-key serial stage is pandas gap-fill, which is
+bounded by ``max_gap_slots`` and can be chunked (storage/skew TODO).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .operators import aggregate, gap_fill, gap_fill_sql, regularize, run_checks
+from .rollup import rollup_tier, rollup_transcripts
+from .schema import transcripts_to_series
+from .storage import CheckpointStore, TierTable
+from .timeutil import MICROS, parse_step
+
+
+@dataclass
+class StageResult:
+    stage: str
+    rows_out: int
+    seconds: float
+    snapshot_id: int | None
+
+    @property
+    def rows_per_sec(self) -> float:
+        return self.rows_out / self.seconds if self.seconds > 0 else 0.0
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cfg: PipelineConfig,
+        channel: str = "text_len",
+        n_buckets: int = 64,
+        use_sql_gapfill: bool = False,
+        gap_fill_enabled: bool = True,
+        max_gap_slots: int | None = 60,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.channel = channel
+        self.root = root
+        self.ckpt = CheckpointStore(os.path.join(root, "checkpoints.json"), n_buckets)
+        self.tables: dict[str, TierTable] = {}
+        self.use_sql_gapfill = use_sql_gapfill
+        self.gap_fill_enabled = gap_fill_enabled
+        self.max_gap_slots = max_gap_slots
+
+    def table(self, name: str) -> TierTable:
+        if name not in self.tables:
+            self.tables[name] = TierTable(os.path.join(self.root, name))
+        return self.tables[name]
+
+    # ------------------------------------------------------------------
+
+    def _commit(
+        self,
+        stage: str,
+        out_df: DataFrame,
+        hwm_df: DataFrame,
+        hwm_key: str,
+        t0: float,
+        lineage: dict,
+    ) -> StageResult:
+        """Persist output, append snapshot, advance HWM from hwm_df
+        (columns: hwm_key + ts)."""
+        table = self.table(stage)
+        out = out_df.persist()
+        rows_out = out.count()
+        snap = None
+        if rows_out:
+            elapsed = time.time() - t0
+            snap = table.append(
+                out,
+                properties={
+                    **lineage,
+                    "rows": rows_out,
+                    "seconds": round(elapsed, 3),
+                    "rows_per_sec": round(rows_out / max(elapsed, 1e-9), 1),
+                },
+            )
+        self.ckpt.advance(
+            stage,
+            hwm_df,
+            key_col=hwm_key,
+            lineage={**lineage, "snapshot": snap.snapshot_id if snap else None},
+        )
+        res = StageResult(
+            stage,
+            rows_out=rows_out,
+            seconds=time.time() - t0,
+            snapshot_id=snap.snapshot_id if snap else None,
+        )
+        out.unpersist()
+        return res
+
+    # ------------------------------------------------------------------
+
+    def run_checked(self, transcripts: DataFrame) -> StageResult:
+        """initial -> checked: derive channel, run checks, optional
+        gap-fill. HWM: processed source rows."""
+        t0 = time.time()
+        fresh = self.ckpt.filter_new(transcripts, "checked", key_col="conv_id")
+        series = transcripts_to_series(fresh, channel=self.channel)
+        checked = run_checks(series, self.cfg)
+        if self.gap_fill_enabled:
+            fill = gap_fill_sql if self.use_sql_gapfill else gap_fill
+            step = parse_step(self.cfg.source_time_step)
+            filled = fill(
+                checked.select("key", "ts", "value", "flags"),
+                step,
+                max_gap_slots=self.max_gap_slots,
+            )
+            checked = filled.join(
+                checked.select("key", "ts", "conv_id", "turn_idx"),
+                ["key", "ts"],
+                "left",
+            )
+        return self._commit(
+            "checked",
+            checked,
+            fresh.select(F.col("conv_id"), F.col("ts")),
+            "conv_id",
+            t0,
+            {"source": "transcripts"},
+        )
+
+    def run_agg_tier(self, cfg_index: int = 0) -> StageResult:
+        """checked -> aggregated tier (reference semantics:
+        regularize -> aggregate -> trim). HWM: emitted bucket ends."""
+        t0 = time.time()
+        cfg = self.cfg.aggregations[cfg_index]
+        src = self.table("checked").read(self.spark)
+        stage = f"agg_{cfg.target_time_step}_{cfg.method}"
+        if src is None:
+            return StageResult(stage, 0, time.time() - t0, None)
+        fresh = self.ckpt.filter_new(src, stage, key_col="key")
+        reg = regularize(
+            fresh.select("key", "ts", "value", "flags"),
+            parse_step(self.cfg.source_time_step),
+        )
+        agg = aggregate(reg, cfg, self.cfg.source_time_step)
+        # HWM = emitted bucket end = label + offset (models.py:527-529)
+        hwm = agg.select(
+            F.col("key"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts")) + F.lit(cfg.offset_minutes * 60 * MICROS)
+            ).alias("ts"),
+        )
+        return self._commit(stage, agg, hwm, "key", t0, {"source": "checked"})
+
+    def run_rollups(
+        self, transcripts: DataFrame, finalize: bool = False
+    ) -> list[StageResult]:
+        """Continuous-aggregate tiers 1min -> 1H -> 1D.
+
+        Unless ``finalize``, each tier only emits buckets ending at or
+        before the slice's last complete bucket boundary, so a bucket
+        that may still receive rows stays un-emitted and below the HWM
+        (the rollup analog of trim-last)."""
+        results = []
+
+        # --- 1min: directly from the fresh transcript slice ---------------
+        t0 = time.time()
+        fresh = self.ckpt.filter_new(
+            transcripts, "rollup_1min", key_col="conv_id"
+        ).persist()
+        max_ts = fresh.agg(F.max(F.unix_micros("ts"))).first()[0]
+        step_1min = parse_step("1min")
+        t1min = rollup_transcripts(fresh, step_1min)
+        if not finalize and max_ts is not None:
+            boundary = (max_ts // step_1min.micros) * step_1min.micros
+            t1min = t1min.where(F.unix_micros("ts") <= F.lit(boundary))
+        results.append(
+            self._commit(
+                "rollup_1min",
+                t1min,
+                t1min.select(F.col("conv_id"), F.col("ts")),
+                "conv_id",
+                t0,
+                {"source": "transcripts"},
+            )
+        )
+        fresh.unpersist()
+
+        # --- coarser tiers: incremental over the FULL finer tier table ----
+        # A coarse bucket can span finer rows emitted by earlier runs, so
+        # each coarse tier re-reads its finer TierTable above its own HWM
+        # (finer rows of un-emitted coarse buckets are exactly the rows
+        # above it). Exact-duplicate finer rows from an at-least-once
+        # replay are dropped before summing.
+        for tier_step, source_name in (("1H", "rollup_1min"), ("1D", "rollup_1H")):
+            t0 = time.time()
+            stage = f"rollup_{tier_step}"
+            step = parse_step(tier_step)
+            finer = self.table(source_name).read(self.spark)
+            if finer is None:
+                results.append(StageResult(stage, 0, time.time() - t0, None))
+                continue
+            finer_fresh = self.ckpt.filter_new(finer, stage, key_col="conv_id")
+            finer_fresh = finer_fresh.dropDuplicates(["conv_id", "role", "ts"])
+            tier = rollup_tier(finer_fresh, step)
+            finer_max = finer_fresh.agg(F.max(F.unix_micros("ts"))).first()[0]
+            if not finalize and finer_max is not None:
+                boundary = (finer_max // step.micros) * step.micros
+                tier = tier.where(F.unix_micros("ts") <= F.lit(boundary))
+            results.append(
+                self._commit(
+                    stage,
+                    tier,
+                    tier.select(F.col("conv_id"), F.col("ts")),
+                    "conv_id",
+                    t0,
+                    {"source": source_name},
+                )
+            )
+        return results
+
+    def run(
+        self, transcripts: DataFrame, finalize: bool = True
+    ) -> list[StageResult]:
+        """Full DAG for one batch of uploads."""
+        results = [self.run_checked(transcripts)]
+        for i in range(len(self.cfg.aggregations)):
+            results.append(self.run_agg_tier(i))
+        results.extend(self.run_rollups(transcripts, finalize=finalize))
+        return results

@@ -1,0 +1,113 @@
+"""Continuous aggregates: 1min/1h/1d retention tiers of per-conv_id /
+per-role turn counts, tool-call rates, and text-length stats
+(north-star requirement, BASELINE.json; SURVEY.md §2.4 A5).
+
+Design:
+
+- Tier rows are keyed (conv_id, role, ts) where ``role`` includes the
+  sentinel ``"<all>"`` for the across-roles rollup — produced with
+  GROUPING SETS so the source is scanned once.
+- Buckets are right-labeled left-open intervals, identical to the
+  aggregation operator's semantics (operators/aggregate.py), so tier
+  timestamps line up with reference-style aggregated series.
+- Stats are chosen to COMPOSE: sums/counts/min/max re-aggregate
+  losslessly, so the 1h tier is computed from the 1min tier and 1d
+  from 1h (``rollup_tier``) instead of rescanning the fact table —
+  the economic path at 10^12 turns. Rates/means are derived at query
+  time (tool_call_rate = tool_calls / turn_count). Tier-by-tier
+  equality with direct computation is pinned by
+  tests/test_rollup.py.
+
+Scale: each tier is one partial+final hash aggregation; grouping-sets
+doubles the shuffled rows but halves the jobs. No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .timeutil import Step, parse_step
+
+TIER_STEPS = ("1min", "1H", "1D")
+
+ROLE_ALL = "<all>"
+
+_STATS = (
+    "turn_count",
+    "tool_calls",
+    "text_len_sum",
+    "text_len_min",
+    "text_len_max",
+)
+
+
+def bucket_end(ts: Column, step: Step) -> Column:
+    """Right-labeled (start, end] bucket end, as in operators.aggregate."""
+    s = F.lit(step.micros)
+    us = F.unix_micros(ts)
+    return F.timestamp_micros(us + (s - us % s) % s)
+
+
+def rollup_transcripts(df: DataFrame, step: Step | str) -> DataFrame:
+    """Direct tier computation from the raw transcript table."""
+    if isinstance(step, str):
+        step = parse_step(step)
+    text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    base = df.select(
+        F.col("conv_id"),
+        F.coalesce(F.col("role"), F.lit("")).alias("role"),
+        bucket_end(F.col("ts"), step).alias("ts"),
+        text_len.alias("__len"),
+        F.col("tool").isNotNull().cast("long").alias("__tool"),
+    )
+    grouped = base.groupingSets(
+        [["conv_id", "ts"], ["conv_id", "role", "ts"]],
+        "conv_id",
+        "role",
+        "ts",
+    ).agg(
+        F.count(F.lit(1)).alias("turn_count"),
+        F.sum("__tool").alias("tool_calls"),
+        F.sum("__len").alias("text_len_sum"),
+        F.min("__len").alias("text_len_min"),
+        F.max("__len").alias("text_len_max"),
+    )
+    return grouped.withColumn(
+        "role", F.coalesce(F.col("role"), F.lit(ROLE_ALL))
+    )
+
+
+def rollup_tier(tier: DataFrame, step: Step | str) -> DataFrame:
+    """Compute a coarser tier FROM a finer tier (lossless composition)."""
+    if isinstance(step, str):
+        step = parse_step(step)
+    return (
+        tier.withColumn("ts", bucket_end(F.col("ts"), step))
+        .groupBy("conv_id", "role", "ts")
+        .agg(
+            F.sum("turn_count").alias("turn_count"),
+            F.sum("tool_calls").alias("tool_calls"),
+            F.sum("text_len_sum").alias("text_len_sum"),
+            F.min("text_len_min").alias("text_len_min"),
+            F.max("text_len_max").alias("text_len_max"),
+        )
+    )
+
+
+def with_rates(tier: DataFrame) -> DataFrame:
+    """Derived, non-composable stats for query surfaces."""
+    return tier.withColumns(
+        {
+            "tool_call_rate": F.col("tool_calls") / F.col("turn_count"),
+            "text_len_mean": F.col("text_len_sum") / F.col("turn_count"),
+        }
+    )
+
+
+def build_tiers(transcripts: DataFrame) -> dict[str, DataFrame]:
+    """1min directly; 1h from 1min; 1d from 1h."""
+    t1min = rollup_transcripts(transcripts, "1min")
+    t1h = rollup_tier(t1min, "1H")
+    t1d = rollup_tier(t1h, "1D")
+    return {"1min": t1min, "1H": t1h, "1D": t1d}

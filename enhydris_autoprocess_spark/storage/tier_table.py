@@ -1,0 +1,141 @@
+"""TierTable — an Iceberg-style append-only table on Parquet + a
+JSON-lines manifest.
+
+Why not Iceberg itself: the sandbox's PySpark 4.1.2 install bundles no
+Iceberg/Delta runtime jars and has no network (SURVEY.md §7 guiding
+constraint), so this thin interface mirrors the Iceberg semantics the
+engine needs — atomic append, snapshot ids, lineage/metrics snapshot
+properties, time-travel-by-snapshot for resume — over plain Parquet.
+On a cluster with an Iceberg catalog, ``append``/``read`` collapse to
+``df.writeTo(name).append()`` / ``spark.read.format("iceberg")`` with
+the same call sites (S2/S6 in SURVEY.md §2.1).
+
+Layout:
+    <root>/data/snap-<n>/part-*.parquet   (one directory per commit)
+    <root>/manifest.jsonl                 (one JSON line per snapshot)
+
+Commit protocol: write data files first, then append the manifest line
+via write-temp + atomic rename of the whole manifest. Readers list
+files from the manifest only, so a crashed half-written data directory
+is invisible (Iceberg's snapshot isolation, poor man's edition).
+
+Partitioning: data is written partitioned by ``days(ts)`` when a ts
+column exists (hypertable analog of the reference's TimescaleDB record
+store, tests/test_models.py:64-67) plus an optional bucket column for
+conv_id co-location.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    data_dir: str
+    row_count: int
+    properties: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "data_dir": self.data_dir,
+                "row_count": self.row_count,
+                "properties": self.properties,
+            }
+        )
+
+    @staticmethod
+    def from_json(line: str) -> "Snapshot":
+        d = json.loads(line)
+        return Snapshot(
+            d["snapshot_id"],
+            d.get("parent_id"),
+            d["data_dir"],
+            d["row_count"],
+            d.get("properties", {}),
+        )
+
+
+class TierTable:
+    def __init__(self, root: str, partition_by: tuple[str, ...] = ()):
+        self.root = root
+        self.partition_by = tuple(partition_by)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.jsonl")
+
+    def snapshots(self) -> list[Snapshot]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as f:
+            return [Snapshot.from_json(line) for line in f if line.strip()]
+
+    def current_snapshot(self) -> Snapshot | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def append(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
+        """Atomic append; returns the committed snapshot.
+
+        ``properties`` carries lineage + metrics (source snapshot ids,
+        HWMs, rows/sec) into the manifest, the analog of Iceberg
+        snapshot summary properties (north rule: per-partition
+        checkpoints with lineage + throughput metrics).
+        """
+        snaps = self.snapshots()
+        sid = (snaps[-1].snapshot_id + 1) if snaps else 1
+        data_dir = os.path.join(self.root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("errorifexists")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(data_dir)
+        # count from the files we just wrote (no recompute of df's lineage)
+        spark = df.sparkSession
+        row_count = spark.read.parquet(data_dir).count()
+        snap = Snapshot(
+            sid,
+            snaps[-1].snapshot_id if snaps else None,
+            data_dir,
+            row_count,
+            {"committed_at": time.time(), **(properties or {})},
+        )
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            for s in snaps:
+                f.write(s.to_json() + "\n")
+            f.write(snap.to_json() + "\n")
+        os.replace(tmp, self._manifest_path)
+        return snap
+
+    def read(
+        self, spark: SparkSession, as_of_snapshot: int | None = None
+    ) -> DataFrame | None:
+        """Read the table at (up to) a snapshot; None if empty."""
+        dirs = []
+        for s in self.snapshots():
+            if as_of_snapshot is not None and s.snapshot_id > as_of_snapshot:
+                break
+            dirs.append(s.data_dir)
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def read_or_empty(
+        self, spark: SparkSession, schema: str, as_of_snapshot: int | None = None
+    ) -> DataFrame:
+        df = self.read(spark, as_of_snapshot)
+        return df if df is not None else spark.createDataFrame([], schema)

@@ -1,0 +1,13 @@
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from .similarity import brute_force_cosine_topk, lsh_cosine_topk  # noqa: F401
+from .quality import (  # noqa: F401
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)

@@ -1,0 +1,279 @@
+"""Deduplication operators for training-data pipelines (task brief:
+first-class components alongside the reference operators).
+
+All operators work on a documents-shaped frame (id_col, text_col) and
+avoid per-row Python: hashing/shingling is built-in-function only;
+MinHash uses the affine-over-xxhash64 trick entirely in column space.
+
+Scale notes (100 TB):
+- exact_dedup: one hash-groupBy; map-side combine collapses
+  duplicates early, shuffle carries one row per (hash, doc).
+- minhash: signatures computed scan-side (no shuffle); the LSH
+  band-bucket join shuffles only (band, bucket-hash) pairs — rows per
+  doc = n_bands, and the self-join runs on the tiny candidate buckets
+  (AQE skew-split handles degenerate buckets; identical-text floods
+  should be removed by exact_dedup first).
+- simhash: 64-bit fingerprint scan-side; banding on 4x16-bit chunks
+  for candidate generation (Hamming<=k lookup), verify by popcount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: keeps a*h+b inside int64 (ANSI mode), since
+# (h mod p) * a < 2^62 for a,h < 2^31
+_MERSENNE = (1 << 31) - 1
+
+
+def _normalize(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by md5(normalized text).
+
+    Output: id, content_hash, dup_of (smallest id with same hash; null
+    for the canonical keeper), group_size.
+    """
+    h = F.md5(_normalize(F.col(text_col)))
+    w = Window.partitionBy("content_hash")
+    out = (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keeper", F.min(id_col).over(w))
+        .withColumn(
+            "dup_of",
+            F.when(F.col(id_col) != F.col("keeper"), F.col("keeper")),
+        )
+        .drop("keeper")
+    )
+    return out
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """k-word shingles of the normalized text (distinct)."""
+    words = F.split(_normalize(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
+        )
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_k: int = 3, seed: int = 1
+) -> Column:
+    """MinHash signature as array<long>, fully in column space:
+    h_j(s) = (a_j * xxhash64(s) + b_j) mod p, min over shingles."""
+    shingles = _shingles(text, shingle_k)
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    sig = []
+    rnd = _SplitMix(seed)
+    for _ in range(num_hashes):
+        a = rnd.next() % (_MERSENNE - 1) + 1
+        b = rnd.next() % _MERSENNE
+        sig.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(
+                        F.pmod(h, _MERSENNE) * a + b, F.lit(_MERSENNE)
+                    ),
+                )
+            )
+        )
+    return F.array(*sig)
+
+
+class _SplitMix:
+    """Deterministic 64-bit stream (SplitMix64) for permutation params."""
+
+    def __init__(self, seed: int):
+        self.state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def next(self) -> int:
+        self.state = (self.state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = self.state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 1,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding, then
+    exact signature-similarity filter.
+
+    Output: id_a < id_b, est_jaccard (fraction of matching minhashes).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig")).persist()
+
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+        )
+    banded = with_sig.select(
+        "id", "sig", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    out = cand.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
+    return out
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash (64-bit) near-dup candidates via 4x16-bit band blocking.
+
+    Two docs within Hamming distance 3 share at least one of the four
+    16-bit blocks (pigeonhole), so blocking is exact for the radius.
+    Output: id_a < id_b, hamming.
+    """
+    words = F.split(_normalize(F.col(text_col)), " ")
+    hashes = F.transform(F.array_distinct(words), lambda s: F.xxhash64(s))
+    # per-bit majority vote without exploding: sum sign of each bit.
+    # Bit 63 is the two's-complement sign bit: its int64 literal is
+    # -(2^63), and testing it via shiftrightunsigned avoids overflow.
+    def _bit_lit(i: int):
+        return F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+
+    def _vote(i: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) != 0, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    bit_votes = [_vote(i) for i in range(64)]
+    fp = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        fp = fp + F.when(v > 0, _bit_lit(i)).otherwise(F.lit(0).cast("long"))
+    base = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftrightunsigned(F.col("fp"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = base.select("id", "fp", F.explode(blocks).alias("b")).select(
+        "id", "fp", "b.block", "b.chunk"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard over candidate pairs (or all pairs
+    for small inputs — quadratic; pass LSH candidates at scale).
+
+    Output: id_a, id_b, jaccard (double).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), k).alias("sh")
+    )
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+    else:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(sh.withColumnRenamed("sh", "sh_a"), F.col("id") == F.col("id_a"))
+            .drop("id")
+            .join(sh.withColumnRenamed("sh", "sh_b"), F.col("id") == F.col("id_b"))
+            .drop("id")
+        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (inter / union).alias("jaccard")
+    return pairs.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)

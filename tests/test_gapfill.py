@@ -1,0 +1,82 @@
+import datetime as dt
+
+import pytest
+
+from enhydris_autoprocess_spark.operators import gap_fill, gap_fill_sql
+from enhydris_autoprocess_spark.timeutil import parse_step
+
+from .conftest import assert_values_equal, collect_series, series_df
+
+UTC = dt.timezone.utc
+NAN = float("nan")
+T0 = dt.datetime(2024, 1, 1, 0, 0, tzinfo=UTC)
+
+
+def _mk(spark, minutes_values):
+    idx = [T0 + dt.timedelta(minutes=m) for m, _ in minutes_values]
+    vals = [v for _, v in minutes_values]
+    return series_df(spark, idx, vals, [""] * len(idx))
+
+
+@pytest.mark.parametrize("impl", [gap_fill, gap_fill_sql], ids=["pandas", "sql"])
+def test_linear_fill_inserted_rows(spark, impl):
+    # grid hole at minute 1,2 (absent) and NaN at minute 4
+    df = _mk(spark, [(0, 10.0), (3, 40.0), (4, NAN), (5, 70.0)])
+    out = impl(df, parse_step("1min"))
+    idx, vals, flags = collect_series(out)
+    assert [t.minute for t in idx] == [0, 1, 2, 3, 4, 5]
+    assert_values_equal(vals, [10.0, 20.0, 30.0, 40.0, 55.0, 70.0])
+    assert flags == [
+        "",
+        "DATEINSERT FILLED",
+        "DATEINSERT FILLED",
+        "",
+        "FILLED",
+        "",
+    ]
+
+
+@pytest.mark.parametrize("impl", [gap_fill, gap_fill_sql], ids=["pandas", "sql"])
+def test_edges_stay_nan(spark, impl):
+    df = _mk(spark, [(0, NAN), (1, 5.0), (2, NAN)])
+    out = impl(df, parse_step("1min"))
+    _, vals, flags = collect_series(out)
+    assert_values_equal(vals, [NAN, 5.0, NAN])
+    assert flags == ["", "", ""]
+
+
+@pytest.mark.parametrize("impl", [gap_fill, gap_fill_sql], ids=["pandas", "sql"])
+def test_max_gap_slots(spark, impl):
+    df = _mk(spark, [(0, 0.0), (4, 40.0), (5, 50.0), (7, 70.0)])
+    out = impl(df, parse_step("1min"), max_gap_slots=1)
+    _, vals, flags = collect_series(out)
+    # 3-slot gap (1,2,3) too long; 1-slot gap (6) filled
+    assert_values_equal(vals, [0.0, NAN, NAN, NAN, 40.0, 50.0, 60.0, 70.0])
+    assert flags[6] == "DATEINSERT FILLED"
+    assert flags[1] == "DATEINSERT"
+
+
+def test_impls_agree_on_random_series(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for k in range(5):
+        minutes = sorted(rng.choice(200, size=60, replace=False).tolist())
+        for m in minutes:
+            v = float("nan") if rng.rand() < 0.3 else float(rng.rand() * 100)
+            rows.append(
+                (f"k{k}", T0.replace(tzinfo=None) + dt.timedelta(minutes=int(m)), v, "")
+            )
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, flags string"
+    )
+    a = gap_fill(df, parse_step("1min")).orderBy("key", "ts").collect()
+    b = gap_fill_sql(df, parse_step("1min")).orderBy("key", "ts").collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.key == rb.key and ra.ts == rb.ts and ra.flags == rb.flags
+        va, vb = ra.value, rb.value
+        import math
+
+        assert (math.isnan(va) and math.isnan(vb)) or va == pytest.approx(vb)

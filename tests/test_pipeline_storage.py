@@ -1,0 +1,127 @@
+"""End-to-end pipeline: incremental == one-shot, idempotence,
+checkpoint/resume, TierTable snapshots, Gorilla round-trip."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from enhydris_autoprocess_spark.config import (
+    AggregationConfig,
+    PipelineConfig,
+    RangeCheckConfig,
+    RateOfChangeConfig,
+    RoccThreshold,
+)
+from enhydris_autoprocess_spark.pipeline import Pipeline
+from enhydris_autoprocess_spark.storage import TierTable
+from enhydris_autoprocess_spark.storage.gorilla import (
+    compress_series,
+    decompress_series,
+)
+from enhydris_autoprocess_spark.synth import generate_transcripts
+
+CFG = PipelineConfig(
+    range_check=RangeCheckConfig(0, 3000, 5, 2500),
+    rate_of_change=RateOfChangeConfig((RoccThreshold("10min", 2000.0),)),
+    aggregations=(AggregationConfig("H", "sum", 10, "1min"),),
+    source_time_step="1min",
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return generate_transcripts(spark, n_convs=40, seed=11).cache()
+
+
+def _tier_canon(spark, root, stage, dedup_cols=None):
+    df = TierTable(f"{root}/{stage}").read(spark)
+    if df is None:
+        return set()
+    rows = df.collect()
+    out = set()
+    for r in rows:
+        d = r.asDict()
+        d.pop("__bend", None)
+        out.add(tuple(sorted((k, str(v)) for k, v in d.items())))
+    return out
+
+
+def test_full_run_and_idempotent_rerun(spark, transcripts, tmp_path):
+    root = str(tmp_path / "tiers")
+    p = Pipeline(spark, root, CFG, use_sql_gapfill=True)
+    results = p.run(transcripts, finalize=True)
+    by_stage = {r.stage: r for r in results}
+    assert by_stage["checked"].rows_out > 0
+    assert by_stage["agg_H_sum"].rows_out > 0
+    assert by_stage["rollup_1min"].rows_out > 0
+    assert by_stage["rollup_1H"].rows_out > 0
+    assert by_stage["rollup_1D"].rows_out > 0
+
+    # lineage + metrics on snapshots
+    snap = TierTable(f"{root}/checked").current_snapshot()
+    assert snap.properties["rows_per_sec"] > 0
+    assert snap.properties["source"] == "transcripts"
+
+    # re-run: nothing new -> nothing appended (reference
+    # tests/test_models.py:1021-1028 analog)
+    p2 = Pipeline(spark, root, CFG, use_sql_gapfill=True)
+    results2 = p2.run(transcripts, finalize=True)
+    assert all(r.rows_out == 0 for r in results2), [
+        (r.stage, r.rows_out) for r in results2
+    ]
+
+
+def test_incremental_equals_oneshot(spark, transcripts, tmp_path):
+    """Split the input at a time boundary; two incremental runs must
+    produce the same tier contents as one full run."""
+    cut = dt.datetime(2024, 1, 2, 0, 0)
+    first = transcripts.where(F.col("ts") < F.lit(cut))
+    # one-shot
+    root_a = str(tmp_path / "oneshot")
+    Pipeline(spark, root_a, CFG, use_sql_gapfill=True).run(
+        transcripts, finalize=True
+    )
+    # incremental: batch 1 (not finalized), then full set (finalized)
+    root_b = str(tmp_path / "incr")
+    pb = Pipeline(spark, root_b, CFG, use_sql_gapfill=True)
+    pb.run(first, finalize=False)
+    pb2 = Pipeline(spark, root_b, CFG, use_sql_gapfill=True)  # resume from disk
+    pb2.run(transcripts, finalize=True)
+
+    for stage in ("agg_H_sum", "rollup_1H", "rollup_1D"):
+        a = _tier_canon(spark, root_a, stage)
+        b = _tier_canon(spark, root_b, stage)
+        assert a == b, f"{stage}: {len(a)} vs {len(b)} rows; diff={list(a ^ b)[:4]}"
+
+
+def test_rollup_1min_incremental_no_duplicates(spark, transcripts, tmp_path):
+    root = str(tmp_path / "dup")
+    p = Pipeline(spark, root, CFG, gap_fill_enabled=False)
+    cut = dt.datetime(2024, 1, 2, 0, 0)
+    p.run_rollups(transcripts.where(F.col("ts") < F.lit(cut)), finalize=False)
+    p.run_rollups(transcripts, finalize=True)
+    t = TierTable(f"{root}/rollup_1min").read(spark)
+    dups = (
+        t.groupBy("conv_id", "role", "ts").count().where(F.col("count") > 1).count()
+    )
+    assert dups == 0
+
+
+def test_gorilla_spark_round_trip(spark, transcripts):
+    from enhydris_autoprocess_spark.schema import transcripts_to_series
+
+    series = transcripts_to_series(transcripts.limit(2000)).select(
+        "key", "ts", "value"
+    )
+    comp = compress_series(series)
+    assert comp.where(F.length("blob") > 0).count() == comp.count()
+    back = decompress_series(comp)
+    a = {(r.key, r.ts, r.value) for r in series.collect()}
+    b = {(r.key, r.ts, r.value) for r in back.collect()}
+    assert a == b
+    # compression: blob bytes well under 16 B/point
+    stats = comp.agg(
+        F.sum(F.length("blob")).alias("bytes"), F.sum("n").alias("pts")
+    ).first()
+    assert stats["bytes"] / stats["pts"] < 12.0

@@ -1,0 +1,145 @@
+"""Dedup / similarity / quality / multimodal operators — planted
+duplicates and known-answer checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from enhydris_autoprocess_spark.textops import (
+    brute_force_cosine_topk,
+    document_fingerprint,
+    exact_dedup,
+    language_id,
+    lsh_cosine_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_dedup_pairs,
+    token_stats,
+)
+from enhydris_autoprocess_spark.textops.multimodal import (
+    extract_features,
+    fake_media_frame,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing of morning light in the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("warm", "cold")),  # near dup of 0
+        (3, "completely different content about spark shuffles and "
+            "partition pruning strategies during adaptive query execution"),
+        (4, BASE.replace("quick", "slow").replace("lazy", "sleepy")),  # near dup
+        (5, "der hund und die katze und das haus und ein baum der gross ist"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.doc_id: (r.dup_of, r.group_size) for r in exact_dedup(docs).collect()}
+    assert out[0] == (None, 2)
+    assert out[1] == (0, 2)
+    assert out[3] == (None, 1)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always caught
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+    assert not any(3 in p for p in pairs)  # unrelated doc never paired
+
+
+def test_minhash_deterministic(spark, docs):
+    a = sorted(minhash_dedup_pairs(docs, threshold=0.5).collect())
+    b = sorted(minhash_dedup_pairs(docs, threshold=0.5).collect())
+    assert a == b
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in simhash_dedup_pairs(docs, max_hamming=8).collect()}
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.3 <= out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_token_stats_quality_langid(spark, docs):
+    ts = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert ts[0].n_tokens == len(BASE.split())
+    assert ts[0].n_chars == len(BASE)
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert all(0 <= v <= 1 for v in q.values())
+    lang = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[5] == "de"
+
+
+def test_fingerprint_stability(spark, docs):
+    fp = {r.doc_id: r for r in document_fingerprint(docs).collect()}
+    assert fp[0].fingerprint == fp[1].fingerprint
+    assert fp[0].fingerprint != fp[3].fingerprint
+    assert len(fp[0].fingerprint) == 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(80):
+        v = rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    # vec 100 = near-copy of vec 0
+    base = rows[0][1]
+    rows.append((100, [x + 0.01 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    out = brute_force_cosine_topk(vectors, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out][0] == 100
+    assert out[0].score > 0.99
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_lsh_recall_of_close_pair(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    out = lsh_cosine_topk(vectors, q, k=3, dim=16, bands=8, bits_per_band=4).collect()
+    assert any(r.neighbor_id == 100 for r in out)
+
+
+def test_multimodal_features(spark):
+    media = fake_media_frame(spark, n=12)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 12
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r.feature)
+    # deterministic: same payload -> same sha/feature on rerun
+    again = {r.media_id: r for r in extract_features(media, fake=True).collect()}
+    assert all(by_id[i].sha256 == again[i].sha256 for i in by_id)
+    # video frame sampling plumbed through
+    assert all(r.frames_sampled >= 1 for r in feats)
+
+
+def test_multimodal_real_decode_raises(spark):
+    from enhydris_autoprocess_spark.textops.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
