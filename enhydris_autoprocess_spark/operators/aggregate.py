@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import AggregationConfig
+from ..schema import ts_micros
 from ..timeutil import MICROS, Step, parse_step
 
 _METHOD_FN = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}
@@ -74,7 +75,7 @@ def aggregate_step(
     if method not in _METHOD_FN:
         raise ValueError(f'"{method}" is not a valid method')
 
-    micros = F.unix_micros(F.col(ts_col))
+    micros = ts_micros(F.col(ts_col))
     b_end, b_start = _bucket_end_micros(micros, target_step)
     present = F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
     clean = F.when(present, F.col(value_col))
@@ -152,7 +153,7 @@ def source_end_frame(
     df: DataFrame, key_col: str = "key", ts_col: str = "ts"
 ) -> DataFrame:
     return df.groupBy(key_col).agg(
-        F.max(F.unix_micros(F.col(ts_col))).alias("__src_end_us")
+        F.max(ts_micros(F.col(ts_col))).alias("__src_end_us")
     )
 
 
@@ -161,6 +162,7 @@ def aggregate(
     cfg: AggregationConfig,
     source_step: Step | str,
     trim: bool = True,
+    source_df: DataFrame | None = None,
     key_col: str = "key",
     ts_col: str = "ts",
     value_col: str = "value",
@@ -168,7 +170,14 @@ def aggregate(
 ) -> DataFrame:
     """Full reference Aggregation.process_timeseries minus regularization
     (compose with operators.regularize for the exact pipeline,
-    models.py:467-477)."""
+    models.py:467-477).
+
+    ``source_df``: the RAW pre-regularization frame. The reference's
+    trim compares the raw source end (models.py:470), which can differ
+    from the regularized end by up to step/2; passing the raw frame is
+    also cheaper — the per-key max is a column-pruned scan instead of a
+    recomputation of the whole regularize subtree.
+    """
     if isinstance(source_step, str):
         source_step = parse_step(source_step)
     target = parse_step(cfg.target_time_step)
@@ -185,7 +194,8 @@ def aggregate(
         flags_col=flags_col,
     )
     if trim:
+        src = source_df if source_df is not None else df
         agg = trim_last_if_incomplete(
-            agg, source_end_frame(df, key_col, ts_col), key_col, flags_col
+            agg, source_end_frame(src, key_col, ts_col), key_col, flags_col
         )
     return agg.drop("__bend", "n_present")

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..flags import append_flag
-from ..schema import NAN
+from ..schema import NAN, ts_micros
 from ..timeutil import MICROS, Step
 
 
@@ -53,8 +53,7 @@ def complete_grid(
     — co-partitioned with downstream per-key work.
     """
     step_us = step.micros
-    micros = F.unix_micros(F.col(ts_col))
-    src = df.withColumn("__us", micros)
+    src = df.withColumn("__us", ts_micros(F.col(ts_col)))
     spans = src.groupBy(key_col).agg(
         F.min("__us").alias("__g0"), F.max("__us").alias("__g1")
     )
@@ -152,7 +151,7 @@ def gap_fill_sql(
 ) -> DataFrame:
     """JVM-only equivalent: anchors via last(ignorenulls) windows."""
     completed = complete_grid(df, step, key_col, ts_col, value_col, flags_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_micros(F.col(ts_col))
     v = F.col(value_col)
     known_v = F.when(~F.isnan(v), v)
     known_t = F.when(~F.isnan(v), us)

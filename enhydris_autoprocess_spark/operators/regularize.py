@@ -35,11 +35,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..flags import append_flag
+from ..schema import ts_micros
 from ..schema import NAN
 from ..timeutil import MICROS, Step
 
 INSTANTANEOUS = "INSTANTANEOUS"
 INTERVAL = "INTERVAL"
+
+
+def infer_time_step(
+    df: DataFrame, key_col: str = "key", ts_col: str = "ts"
+) -> dict[str, int]:
+    """Per-key modal timestamp delta in seconds (W3 in SURVEY.md §2.3).
+
+    The reference calls ``pd.infer_freq`` on the whole index
+    (models.py:499-500) and fails the job when there is none
+    (tests/test_models.py:1047-1084). Distributed analog: the mode of
+    consecutive deltas per key — one window lag + one count. Returns
+    {key: step_seconds}; keys with < 2 rows are absent (caller decides
+    whether that is the reference's graceful-failure path).
+    """
+    us = ts_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us)
+    deltas = (
+        df.select(F.col(key_col), (us - F.lag(us).over(w)).alias("__d"))
+        .where(F.col("__d").isNotNull())
+        .groupBy(key_col, "__d")
+        .count()
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col("count").desc(), F.col("__d").asc()
+    )
+    rows = (
+        deltas.withColumn("__rn", F.row_number().over(pick))
+        .where(F.col("__rn") == 1)
+        .select(key_col, "__d")
+        .collect()
+    )
+    return {r[key_col]: int(r["__d"]) // 1_000_000 for r in rows}
 
 
 def mode_for_method(method: str) -> str:
@@ -59,7 +92,7 @@ def regularize(
     flags_col: str = "flags",
 ) -> DataFrame:
     step_us = step.micros
-    micros = F.unix_micros(F.col(ts_col))
+    micros = ts_micros(F.col(ts_col))
     # Half-up rounding: floor((t + step/2) / step) * step — pure long
     # arithmetic (pmod) so the result is bit-identical to the integer
     # oracles (numpy //, DuckDB //) at any epoch.

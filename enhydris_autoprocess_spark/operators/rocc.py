@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..config import RateOfChangeConfig
 from ..flags import append_flag, has_flag
-from ..schema import NAN
+from ..schema import NAN, ts_seconds
 from ..timeutil import parse_delta_t_seconds
 
 
@@ -51,7 +51,7 @@ def rate_of_change_check(
     present = value.isNotNull() & ~F.isnan(value)
     clean = F.when(present, value)  # NULL where missing so min/max skip
 
-    epoch = F.unix_timestamp(F.col(ts_col))
+    epoch = ts_seconds(F.col(ts_col))
     out = df.withColumn("__v", clean).withColumn("__t", epoch)
 
     mask = F.lit(False)

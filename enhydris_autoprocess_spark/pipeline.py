@@ -184,7 +184,9 @@ class Pipeline:
             fresh.select("key", "ts", "value", "flags"),
             parse_step(self.cfg.source_time_step),
         )
-        agg = aggregate(reg, cfg, self.cfg.source_time_step)
+        # trim against the RAW slice end (models.py:470) — also avoids
+        # recomputing the regularize subtree for a per-key max
+        agg = aggregate(reg, cfg, self.cfg.source_time_step, source_df=fresh)
         # HWM = emitted bucket end = label + offset (models.py:527-529)
         hwm = agg.select(
             F.col("key"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .schema import ts_micros
 from .timeutil import Step, parse_step
 
 TIER_STEPS = ("1min", "1H", "1D")
@@ -45,7 +46,7 @@ _STATS = (
 def bucket_end(ts: Column, step: Step) -> Column:
     """Right-labeled (start, end] bucket end, as in operators.aggregate."""
     s = F.lit(step.micros)
-    us = F.unix_micros(ts)
+    us = ts_micros(ts)
     return F.timestamp_micros(us + (s - us % s) % s)
 
 

@@ -43,6 +43,17 @@ SERIES_SCHEMA = T.StructType(
 NAN = float("nan")
 
 
+def ts_micros(c: Column) -> Column:
+    """Epoch micros of a timestamp column, tolerant of TIMESTAMP_NTZ
+    (what Spark infers for pyarrow-written parquet): with the session
+    tz pinned to UTC the cast is a pure reinterpretation."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def ts_seconds(c: Column) -> Column:
+    return F.unix_timestamp(c.cast("timestamp"))
+
+
 def null_to_nan(c: Column) -> Column:
     """Boundary normalization: storage NULL -> pipeline NaN."""
     return F.coalesce(c.cast("double"), F.lit(NAN))

@@ -27,6 +27,8 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schema import ts_micros
+
 DEFAULT_BUCKETS = 64
 
 
@@ -86,12 +88,12 @@ class CheckpointStore:
         )
         if global_min is not None:
             # pushable coarse bound (Parquet row-group pruning)
-            out = out.where(F.unix_micros(F.col(ts_col)) > F.lit(global_min))
+            out = out.where(ts_micros(F.col(ts_col)) > F.lit(global_min))
         out = (
             out.join(F.broadcast(hwm_df), "__bucket", "left")
             .where(
                 F.col("__hwm_us").isNull()
-                | (F.unix_micros(F.col(ts_col)) > F.col("__hwm_us"))
+                | (ts_micros(F.col(ts_col)) > F.col("__hwm_us"))
             )
             .drop("__bucket", "__hwm_us")
         )
@@ -109,7 +111,7 @@ class CheckpointStore:
         recording a run entry with lineage + metrics. Returns the run."""
         rows = (
             df.groupBy(bucket_col(F.col(key_col), self.n_buckets).alias("__b"))
-            .agg(F.max(F.unix_micros(F.col(ts_col))).alias("__m"))
+            .agg(F.max(ts_micros(F.col(ts_col))).alias("__m"))
             .collect()
         )
         stage_state = self._state["stages"].setdefault(stage, {})

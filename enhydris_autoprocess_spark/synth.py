@@ -102,3 +102,75 @@ def generate_transcripts(
             "tool string, ts timestamp"
         ),
     )
+
+
+_LOREM = (
+    "the quick brown fox jumps over the lazy dog while spark shuffles "
+    "rows across partitions and the optimizer prunes columns from the "
+    "scan before the window sorts keys into frames for the checks "
+) * 40  # ~6 KB literal, sliced per turn
+
+
+def generate_transcripts_jvm(
+    spark: SparkSession,
+    n_convs: int = 100_000,
+    seed: int = 42,
+    base_turns: int = 24,
+    skew_shifts: int = 6,
+    gap_rate_pct: int = 5,
+    base_ts: dt.datetime = BASE_TS,
+    partitions: int | None = None,
+) -> DataFrame:
+    """100%-JVM deterministic generator for BENCHMARKS.
+
+    The pandas generator above is realistic but Python-bound
+    (~50k turns/s/core), so at bench scale the generator, not the
+    engine, would dominate. This variant builds the same shape —
+    Zipf-ish conv lengths (base_turns << (hash % skew_shifts)), 1-min
+    cadence, hash-derived gaps/text-lengths/tool-calls — entirely from
+    column expressions (range -> sequence -> explode), so input
+    materializes at JVM speed and stays out of the measured section.
+    """
+    from pyspark.sql import functions as F
+
+    base_us = int(
+        base_ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    conv = spark.range(n_convs, numPartitions=partitions).select(
+        F.col("id").alias("cid"),
+        F.xxhash64(F.col("id"), F.lit(seed)).alias("h"),
+    )
+    n_turns = (
+        F.lit(base_turns)
+        * F.pow(F.lit(2.0), F.pmod("h", F.lit(skew_shifts)).cast("double"))
+    ).cast("int")
+    turns = conv.select(
+        "cid",
+        "h",
+        F.explode(F.sequence(F.lit(0), n_turns - 1)).alias("turn_idx"),
+    )
+    th = F.xxhash64("cid", "turn_idx", F.lit(seed))
+    text_len = (F.pmod(th, F.lit(240)) + 12).cast("int")
+    start = (F.pmod(F.shiftrightunsigned(th, 8), F.lit(2000)) + 1).cast("int")
+    out = (
+        turns
+        # hash-derived gaps: drop ~gap_rate_pct% of turns
+        .where(F.pmod(F.shiftrightunsigned(th, 16), F.lit(100)) >= gap_rate_pct)
+        .select(
+            F.concat(F.lit("conv-"), F.lpad(F.col("cid").cast("string"), 8, "0")).alias("conv_id"),
+            F.col("turn_idx").cast("int"),
+            F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant").alias("role"),
+            F.lit(_LOREM).substr(start, text_len).alias("text"),
+            F.when(
+                (F.col("turn_idx") % 2 == 1)
+                & (F.pmod(F.shiftrightunsigned(th, 24), F.lit(10)) == 0),
+                F.lit("search"),
+            ).alias("tool"),
+            F.timestamp_micros(
+                F.lit(base_us)
+                + F.pmod("h", F.lit(1440)) * 1_800_000_000
+                + F.col("turn_idx").cast("long") * 60_000_000
+            ).alias("ts"),
+        )
+    )
+    return out

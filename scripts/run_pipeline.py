@@ -1,0 +1,99 @@
+"""spark-submit entry point for the rollup/retention pipeline.
+
+Deployment shape required by the north rule: ``spark-submit
+--py-files enhydris_autoprocess_spark.zip scripts/run_pipeline.py
+--config job.json --input <transcripts parquet/iceberg> --root <tier
+store root>``. In local sandboxes it also runs under plain python.
+
+The JSON config mirrors PipelineConfig (the declarative replacement of
+the reference's admin forms; validation rules identical —
+/root/reference/enhydris_autoprocess/models.py:262-268, 457-465):
+
+{
+  "source_time_step": "1min",
+  "range_check": {"lower_bound": 0, "upper_bound": 3000,
+                   "soft_lower_bound": 5, "soft_upper_bound": 2500},
+  "rate_of_change": {"symmetric": false,
+                      "thresholds": [["10min", 2000.0]]},
+  "aggregations": [{"target_time_step": "H", "method": "sum",
+                     "max_missing": 10,
+                     "resulting_timestamp_offset": "1min"}],
+  "channel": "text_len",
+  "gap_fill": {"enabled": true, "max_gap_slots": 60, "use_sql": false}
+}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def load_config(d: dict):
+    from enhydris_autoprocess_spark.config import (
+        AggregationConfig,
+        PipelineConfig,
+        RangeCheckConfig,
+        RateOfChangeConfig,
+        RoccThreshold,
+    )
+
+    rc = d.get("range_check")
+    roc = d.get("rate_of_change")
+    return PipelineConfig(
+        range_check=RangeCheckConfig(**rc) if rc else None,
+        rate_of_change=RateOfChangeConfig(
+            thresholds=tuple(RoccThreshold(t, float(x)) for t, x in roc["thresholds"]),
+            symmetric=bool(roc.get("symmetric", False)),
+        )
+        if roc
+        else None,
+        aggregations=tuple(
+            AggregationConfig(**a) for a in d.get("aggregations", ())
+        ),
+        source_time_step=d.get("source_time_step", "1min"),
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True, help="job config JSON path")
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--root", required=True, help="tier store root directory")
+    p.add_argument("--finalize", action="store_true",
+                   help="emit trailing incomplete rollup buckets")
+    args = p.parse_args(argv)
+
+    with open(args.config) as f:
+        raw = json.load(f)
+    cfg = load_config(raw)
+    gf = raw.get("gap_fill", {})
+
+    from enhydris_autoprocess_spark.pipeline import Pipeline
+
+    spark = SparkSession.builder.appName("enhydris-autoprocess-spark").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    transcripts = spark.read.parquet(args.input)
+    pipe = Pipeline(
+        spark,
+        args.root,
+        cfg,
+        channel=raw.get("channel", "text_len"),
+        gap_fill_enabled=bool(gf.get("enabled", True)),
+        max_gap_slots=gf.get("max_gap_slots", 60),
+        use_sql_gapfill=bool(gf.get("use_sql", False)),
+    )
+    results = pipe.run(transcripts, finalize=args.finalize)
+    for r in results:
+        print(
+            f"{r.stage}: rows={r.rows_out} secs={r.seconds:.2f} "
+            f"rows/s={r.rows_per_sec:.0f} snapshot={r.snapshot_id}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

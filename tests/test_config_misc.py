@@ -1,0 +1,106 @@
+"""Config ingestion (S4/S5), validation rules, step inference (W3),
+calendar-step aggregation (extension)."""
+
+import datetime as dt
+
+import pytest
+
+from enhydris_autoprocess_spark.config import (
+    AggregationConfig,
+    CurvePeriod,
+    RateOfChangeConfig,
+    RoccThreshold,
+)
+from enhydris_autoprocess_spark.operators.aggregate import aggregate_step
+from enhydris_autoprocess_spark.operators.regularize import infer_time_step
+from enhydris_autoprocess_spark.timeutil import (
+    StepError,
+    parse_offset_minutes,
+    parse_step,
+    step_ratio,
+)
+
+from .conftest import collect_series, series_df
+
+UTC = dt.timezone.utc
+
+
+class TestCurveParsing:
+    def test_set_curve_mixed_delimiters(self):
+        # reference tests/test_models.py:694-717 (comma/tab mixed CSV)
+        pts = CurvePeriod.parse_curve("5,6\n7\t8\n9,10\n")
+        assert pts == ((5.0, 6.0), (7.0, 8.0), (9.0, 10.0))
+
+
+class TestThresholdParsing:
+    def test_round_trip(self):
+        # reference tests/test_models.py:441-467
+        cfg = RateOfChangeConfig(
+            RateOfChangeConfig.parse_thresholds("10min\t25.0\n1H\t35.0\n")
+        )
+        assert cfg.thresholds_as_text() == "10min\t25.0\n1H\t35.0\n"
+
+    def test_invalid_delta_t(self):
+        for bad in ("10sec", "0min", "min", "-5min"):
+            with pytest.raises(StepError):
+                RoccThreshold(bad, 1.0)
+
+
+class TestStepRules:
+    def test_offsets(self):
+        # reference tests/test_models.py:840-877 (offset regex)
+        assert parse_offset_minutes("1min") == 1
+        assert parse_offset_minutes("-2min") == -2
+        assert parse_offset_minutes("min") == 1
+        assert parse_offset_minutes("") == 0
+        for bad in ("-min", "2H", "1day"):
+            with pytest.raises(StepError):
+                parse_offset_minutes(bad)
+
+    def test_steps(self):
+        # check_time_step behavior (reference tests/test_models.py:933-938)
+        assert str(parse_step("H")) == "1H"
+        assert step_ratio(parse_step("10min"), parse_step("H")) == 6
+        with pytest.raises(StepError):
+            parse_step("h")
+        with pytest.raises(StepError):
+            AggregationConfig("h", "sum")
+        # calendar steps parse but have no fixed seconds
+        with pytest.raises(StepError):
+            parse_step("M").seconds  # noqa: B018
+
+
+def test_infer_time_step(spark):
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    idx_a = [t0 + dt.timedelta(minutes=10 * i) for i in range(6)]
+    idx_b = [t0 + dt.timedelta(minutes=[0, 1, 2, 62, 63, 64][i]) for i in range(6)]
+    df = series_df(spark, idx_a, [1.0] * 6, [""] * 6, key="a").union(
+        series_df(spark, idx_b, [1.0] * 6, [""] * 6, key="b")
+    )
+    steps = infer_time_step(df)
+    assert steps == {"a": 600, "b": 60}
+
+
+def test_calendar_monthly_aggregate(spark):
+    # daily series across 3 months; monthly sums, right-labeled by the
+    # first instant of the next month, per-bucket expected = days in month
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    idx = [t0 + dt.timedelta(days=i) for i in range(91)]  # Jan1..Mar31
+    df = series_df(spark, idx, [1.0] * 91, [""] * 91)
+    out = aggregate_step(
+        df,
+        parse_step("D"),
+        parse_step("M"),
+        "sum",
+        max_missing=1,
+    )
+    rows = {r.ts: (r.value, r.flags) for r in out.collect()}
+    # (start, end] semantics: a midnight-of-the-1st point belongs to the
+    # bucket it ENDS, so the Dec bucket holds only Jan-1 (1 of 31 slots,
+    # below min_count 30 -> dropped); Jan holds Jan-2..Feb-1 = 31/31;
+    # Feb (leap) holds Feb-2..Mar-1 = 29/29; Mar holds Mar-2..Mar-31 =
+    # 30/31 -> MISS.
+    assert dt.datetime(2024, 1, 1) not in rows
+    assert rows[dt.datetime(2024, 2, 1)] == (31.0, "")
+    assert rows[dt.datetime(2024, 3, 1)] == (29.0, "")
+    assert rows[dt.datetime(2024, 4, 1)] == (30.0, "MISS")
