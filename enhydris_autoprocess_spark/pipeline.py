@@ -86,6 +86,14 @@ class Pipeline:
         self.channel = channel
         self.root = root
         self.ckpt = CheckpointStore(os.path.join(root, "checkpoints.json"), n_buckets)
+        # O2 config-change trigger (models.py:67-70): a changed config
+        # invalidates all HWMs so affected series reprocess fully.
+        import hashlib
+
+        cfg_repr = repr((cfg, channel, use_sql_gapfill, gap_fill_enabled, max_gap_slots))
+        self.config_invalidated = self.ckpt.ensure_config(
+            hashlib.sha256(cfg_repr.encode()).hexdigest()[:16]
+        )
         self.tables: dict[str, TierTable] = {}
         self.use_sql_gapfill = use_sql_gapfill
         self.gap_fill_enabled = gap_fill_enabled

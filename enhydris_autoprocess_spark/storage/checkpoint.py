@@ -130,3 +130,29 @@ class CheckpointStore:
     def record_run(self, info: dict) -> None:
         self._state["runs"].append(info)
         self._save()
+
+    def ensure_config(self, config_hash: str) -> bool:
+        """Config-change trigger (O2): the reference re-executes an
+        auto-process whenever its config is saved (models.py:67-70,
+        tests/test_models.py:63-87). Batch analog: if the pipeline
+        config hash changed, every HWM is reset so the next run
+        reprocesses from the start (checkpoint invalidation). Returns
+        True when an invalidation happened.
+
+        Note: tier TABLES are append-only, so a config change implies
+        the operator should also write to a fresh tier root or rely on
+        last-snapshot-wins reads; the pipeline surfaces this by
+        recording the invalidation in the run log.
+        """
+        stored = self._state.get("config_hash")
+        if stored == config_hash:
+            return False
+        invalidated = bool(stored) and bool(self._state["stages"])
+        if invalidated:
+            self._state["runs"].append(
+                {"event": "config_changed", "old": stored, "new": config_hash}
+            )
+            self._state["stages"] = {}
+        self._state["config_hash"] = config_hash
+        self._save()
+        return invalidated

@@ -125,3 +125,54 @@ def test_gorilla_spark_round_trip(spark, transcripts):
         F.sum(F.length("blob")).alias("bytes"), F.sum("n").alias("pts")
     ).first()
     assert stats["bytes"] / stats["pts"] < 12.0
+
+
+def test_per_turn_text_equality_invariant(spark, transcripts, tmp_path):
+    """North-rule invariant: under stable (conv_id, turn_idx) ordering,
+    every input turn appears in the checked tier exactly once, with its
+    derived channel equal to length(text) of the ORIGINAL text."""
+    root = str(tmp_path / "inv")
+    p = Pipeline(spark, root, CFG, gap_fill_enabled=False)
+    p.run_checked(transcripts)
+    checked = TierTable(f"{root}/checked").read(spark)
+    joined = transcripts.alias("t").join(
+        checked.alias("c"),
+        (F.col("t.conv_id") == F.col("c.conv_id"))
+        & (F.col("t.turn_idx") == F.col("c.turn_idx")),
+        "left",
+    )
+    n_in = transcripts.count()
+    assert joined.where(F.col("c.value").isNull()).count() == 0  # no turn lost
+    assert checked.count() == n_in  # no turn duplicated/invented
+    # channel carries the text identity: value == length(text) except
+    # where a check rejected the value — and every rejected row must
+    # carry a check flag explaining it.
+    text_len = F.length(F.coalesce(F.col("t.text"), F.lit(""))).cast("double")
+    mism = joined.where(
+        ~F.isnan("c.value") & (F.col("c.value") != text_len)
+    ).count()
+    assert mism == 0
+    unexplained = joined.where(
+        F.isnan("c.value")
+        & ~(F.col("c.flags").contains("RANGE") | F.col("c.flags").contains("TEMPORAL"))
+    ).count()
+    assert unexplained == 0
+
+
+def test_config_change_invalidates_checkpoints(spark, transcripts, tmp_path):
+    import dataclasses
+
+    root = str(tmp_path / "cfgchange")
+    p1 = Pipeline(spark, root, CFG, gap_fill_enabled=False)
+    p1.run_checked(transcripts)
+    # same config -> resume, nothing to do
+    p2 = Pipeline(spark, root, CFG, gap_fill_enabled=False)
+    assert not p2.config_invalidated
+    assert p2.run_checked(transcripts).rows_out == 0
+    # changed bounds -> HWMs reset, full reprocess (O2, models.py:67-70)
+    cfg2 = dataclasses.replace(
+        CFG, range_check=type(CFG.range_check)(0, 100, 5, 50)
+    )
+    p3 = Pipeline(spark, root, cfg2, gap_fill_enabled=False)
+    assert p3.config_invalidated
+    assert p3.run_checked(transcripts).rows_out > 0

@@ -51,11 +51,11 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
 
     max_ts = t.agg(F.max("ts")).first()[0]
     cutoff = max_ts - dt.timedelta(minutes=2)
-    got = spark.read.parquet(out_dir).where(F.col("ts") <= F.lit(cutoff))
+    got = spark.read.parquet(out_dir).where(F.col("ts") < F.lit(cutoff))
     want = (
         rollup_transcripts(spark.read.parquet(in_dir), "1min")
         .where(F.col("role") != ROLE_ALL)
-        .where(F.col("ts") <= F.lit(cutoff))
+        .where(F.col("ts") < F.lit(cutoff))
     )
 
     def canon(df):
