@@ -120,8 +120,44 @@ def gap_fill(
     ts_col: str = "ts",
     value_col: str = "value",
     flags_col: str = "flags",
+    chunk_span_slots: int | None = None,
 ) -> DataFrame:
-    """Grid-complete then interpolate inside ``applyInPandas`` per key."""
+    """Grid-complete then interpolate inside ``applyInPandas`` per key.
+
+    ``chunk_span_slots``: hot-key mode — split each key's timeline into
+    chunks of that many grid slots processed in parallel with
+    ``max_gap_slots + 1`` slots of halo context (requires a bounded
+    ``max_gap_slots``; see skew.chunked_apply_in_pandas). Output is
+    identical to the unchunked path (tests pin this).
+    """
+    if chunk_span_slots is not None:
+        if max_gap_slots is None:
+            raise ValueError("chunked gap-fill requires bounded max_gap_slots")
+        from ..skew import chunked_apply_in_pandas
+
+        completed = complete_grid(df, step, key_col, ts_col, value_col, flags_col)
+
+        def fill_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _fill_pdf(
+                pdf, ts_col, value_col, flags_col, max_gap_slots, fill_flag
+            )
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in completed.schema.fields]
+        )
+        out = chunked_apply_in_pandas(
+            completed,
+            fill_chunk,
+            schema,
+            chunk_span_us=chunk_span_slots * step.micros,
+            halo_us=(max_gap_slots + 1) * step.micros,
+            key_col=key_col,
+            ts_col=ts_col,
+        )
+        return out.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))
+
     completed = complete_grid(df, step, key_col, ts_col, value_col, flags_col)
     # Arrow from_pandas turns float NaN into null on the way back from
     # the UDF, so the output schema must be nullable and NaN restored

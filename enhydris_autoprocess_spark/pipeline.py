@@ -80,6 +80,7 @@ class Pipeline:
         use_sql_gapfill: bool = False,
         gap_fill_enabled: bool = True,
         max_gap_slots: int | None = 60,
+        compress_tiers: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -98,6 +99,7 @@ class Pipeline:
         self.use_sql_gapfill = use_sql_gapfill
         self.gap_fill_enabled = gap_fill_enabled
         self.max_gap_slots = max_gap_slots
+        self.compress_tiers = compress_tiers
 
     def table(self, name: str) -> TierTable:
         if name not in self.tables:
@@ -202,7 +204,27 @@ class Pipeline:
                 F.unix_micros(F.col("ts")) + F.lit(cfg.offset_minutes * 60 * MICROS)
             ).alias("ts"),
         )
-        return self._commit(stage, agg, hwm, "key", t0, {"source": "checked"})
+        res = self._commit(stage, agg, hwm, "key", t0, {"source": "checked"})
+        if self.compress_tiers and res.rows_out:
+            # Gorilla-compressed copy of the slice just committed
+            # (north-star tier storage): blobs per (key, chunk) with the
+            # flags array riding alongside — lossless round-trip pinned
+            # by tests/test_pipeline_storage.py.
+            from .storage.gorilla import compress_series
+
+            t1 = time.time()
+            snap = self.table(stage).current_snapshot()
+            slice_df = self.spark.read.parquet(snap.data_dir)
+            comp = compress_series(slice_df, flags_col="flags")
+            self.table(f"{stage}_gorilla").append(
+                comp,
+                properties={
+                    "source": stage,
+                    "source_snapshot": snap.snapshot_id,
+                    "seconds": round(time.time() - t1, 3),
+                },
+            )
+        return res
 
     def run_rollups(
         self, transcripts: DataFrame, finalize: bool = False

@@ -98,8 +98,12 @@ def encode_chunk(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     t0 = int(ts_us[0])
     header = struct.pack("<IqI", n, t0, 0)
     if n > 1:
+        # 64-bit first delta: the paper's 14-bit field assumes seconds
+        # resolution and sub-4h gaps; micro-resolution tier series can
+        # open with multi-day gaps, which overflowed a 32-bit field
+        # (caught by the tier round-trip test).
         first_delta = int(ts_us[1]) - t0
-        w.write(first_delta & 0xFFFFFFFF, 32)
+        w.write(first_delta & 0xFFFFFFFFFFFFFFFF, 64)
     deltas = np.diff(ts_us.astype(np.int64))
     dods = np.diff(deltas)
     for dod in dods.tolist():
@@ -151,9 +155,9 @@ def decode_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     ts = np.empty(n, dtype=np.int64)
     ts[0] = t0
     if n > 1:
-        first_delta = r.read(32)
-        if first_delta >= 1 << 31:
-            first_delta -= 1 << 32
+        first_delta = r.read(64)
+        if first_delta >= 1 << 63:
+            first_delta -= 1 << 64
         ts[1] = t0 + first_delta
         delta = first_delta
         for i in range(2, n):
@@ -198,53 +202,68 @@ def compress_series(
     key_col: str = "key",
     ts_col: str = "ts",
     value_col: str = "value",
+    flags_col: str | None = None,
     chunk: int = CHUNK,
 ) -> DataFrame:
-    """(key, ts, value) -> (key, chunk_start_us, n, blob).
+    """(key, ts, value[, flags]) -> (key, chunk_start_us, n, blob[, flags]).
 
-    applyInPandas per key; rows inside are sorted and chunked. flags
-    travel uncompressed next to the blob tier if needed (tiers store
-    flags separately because they're strings; see pipeline).
+    applyInPandas per key; rows inside are sorted and chunked.
+    Timestamps+values go into the Gorilla blob; flags (strings — not
+    Gorilla material) ride along as one array<string> per chunk, where
+    an all-empty chunk stores NULL instead of 4096 empty strings, so
+    the common unflagged case costs nothing. Tier storage stays
+    lossless: decompress zips them back positionally.
     """
+    with_flags = flags_col is not None
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         vals = pdf[value_col].to_numpy(dtype=np.float64)
+        fl = pdf[flags_col].tolist() if with_flags else None
         key = pdf[key_col].iloc[0]
         out = []
         for i in range(0, len(ts), chunk):
             t, v = ts[i : i + chunk], vals[i : i + chunk]
-            out.append((key, int(t[0]), len(t), encode_chunk(t, v)))
-        return pd.DataFrame(
-            out, columns=["key", "chunk_start_us", "n", "blob"]
+            row = [key, int(t[0]), len(t), encode_chunk(t, v)]
+            if with_flags:
+                chunk_fl = fl[i : i + len(t)]
+                row.append(chunk_fl if any(chunk_fl) else None)
+            out.append(tuple(row))
+        cols = ["key", "chunk_start_us", "n", "blob"] + (
+            ["flags"] if with_flags else []
         )
+        return pd.DataFrame(out, columns=cols)
 
-    return (
-        df.select(key_col, ts_col, value_col)
-        .groupBy(key_col)
-        .applyInPandas(enc, schema=COMPRESSED_SCHEMA)
-    )
+    schema = COMPRESSED_SCHEMA + (", flags array<string>" if with_flags else "")
+    cols = [key_col, ts_col, value_col] + ([flags_col] if with_flags else [])
+    return df.select(*cols).groupBy(key_col).applyInPandas(enc, schema=schema)
 
 
 def decompress_series(df: DataFrame) -> DataFrame:
-    """(key, chunk_start_us, n, blob) -> (key, ts, value)."""
+    """(key, chunk_start_us, n, blob[, flags]) -> (key, ts, value[, flags])."""
+    with_flags = "flags" in df.columns
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             frames = []
             for _, row in b.iterrows():
                 ts, vals = decode_chunk(bytes(row["blob"]))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "key": row["key"],
-                            "ts": pd.to_datetime(ts, unit="us"),
-                            "value": vals,
-                        }
+                d = {
+                    "key": row["key"],
+                    "ts": pd.to_datetime(ts, unit="us"),
+                    "value": vals,
+                }
+                if with_flags:
+                    fl = row["flags"]
+                    d["flags"] = (
+                        list(fl) if fl is not None else [""] * len(ts)
                     )
-                )
+                frames.append(pd.DataFrame(d))
             if frames:
                 yield pd.concat(frames)
 
-    return df.mapInPandas(dec, schema="key string, ts timestamp, value double")
+    schema = "key string, ts timestamp, value double" + (
+        ", flags string" if with_flags else ""
+    )
+    return df.mapInPandas(dec, schema=schema)

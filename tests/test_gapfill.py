@@ -80,3 +80,36 @@ def test_impls_agree_on_random_series(spark):
         import math
 
         assert (math.isnan(va) and math.isnan(vb)) or va == pytest.approx(vb)
+
+
+def test_chunked_equals_unchunked(spark):
+    """Hot-key chunked gap-fill (skew.chunked_apply_in_pandas with halo)
+    must produce exactly the plain per-key result."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # one hot key with a long timeline + two normal keys
+    for k, n in (("hot", 400), ("a", 40), ("b", 25)):
+        minutes = sorted(rng.choice(n * 3, size=n, replace=False).tolist())
+        for m in minutes:
+            v = float("nan") if rng.rand() < 0.25 else float(rng.rand() * 50)
+            rows.append(
+                (k, T0.replace(tzinfo=None) + dt.timedelta(minutes=int(m)), v, "")
+            )
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, flags string"
+    )
+    step = parse_step("1min")
+    plain = gap_fill(df, step, max_gap_slots=5).orderBy("key", "ts").collect()
+    chunked = (
+        gap_fill(df, step, max_gap_slots=5, chunk_span_slots=50)
+        .orderBy("key", "ts")
+        .collect()
+    )
+    assert len(plain) == len(chunked)
+    import math
+
+    for ra, rb in zip(plain, chunked):
+        assert (ra.key, ra.ts, ra.flags) == (rb.key, rb.ts, rb.flags)
+        assert (math.isnan(ra.value) and math.isnan(rb.value)) or ra.value == rb.value

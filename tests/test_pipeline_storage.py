@@ -176,3 +176,24 @@ def test_config_change_invalidates_checkpoints(spark, transcripts, tmp_path):
     p3 = Pipeline(spark, root, cfg2, gap_fill_enabled=False)
     assert p3.config_invalidated
     assert p3.run_checked(transcripts).rows_out > 0
+
+
+def test_compressed_tier_round_trip_with_flags(spark, transcripts, tmp_path):
+    """compress_tiers=True writes a Gorilla tier per agg snapshot; the
+    decompressed contents (incl. flags) equal the plain tier."""
+    from enhydris_autoprocess_spark.storage.gorilla import decompress_series
+
+    root = str(tmp_path / "gz")
+    p = Pipeline(spark, root, CFG, gap_fill_enabled=False, compress_tiers=True)
+    p.run_checked(transcripts)
+    p.run_agg_tier(0)
+    plain = TierTable(f"{root}/agg_H_sum").read(spark)
+    comp = TierTable(f"{root}/agg_H_sum_gorilla").read(spark)
+    assert comp is not None
+    back = decompress_series(comp)
+    a = {(r.key, r.ts, r.value, r.flags) for r in plain.collect()}
+    b = {(r.key, r.ts, r.value, r.flags) for r in back.collect()}
+    assert a == b
+    assert TierTable(f"{root}/agg_H_sum_gorilla").current_snapshot().properties[
+        "source_snapshot"
+    ] == 1
