@@ -103,7 +103,13 @@ class Pipeline:
 
     def table(self, name: str) -> TierTable:
         if name not in self.tables:
-            self.tables[name] = TierTable(os.path.join(self.root, name))
+            # days(ts) hidden partitioning on every tier (hypertable
+            # analog, S6): incremental consumers prune whole day
+            # directories via read(min_ts_us=...). Tables without a ts
+            # column (e.g. Gorilla blob tiers) skip it automatically.
+            self.tables[name] = TierTable(
+                os.path.join(self.root, name), partition_days_col="ts"
+            )
         return self.tables[name]
 
     # ------------------------------------------------------------------
@@ -185,8 +191,10 @@ class Pipeline:
         regularize -> aggregate -> trim). HWM: emitted bucket ends."""
         t0 = time.time()
         cfg = self.cfg.aggregations[cfg_index]
-        src = self.table("checked").read(self.spark)
         stage = f"agg_{cfg.target_time_step}_{cfg.method}"
+        src = self.table("checked").read(
+            self.spark, min_ts_us=self.ckpt.global_min_hwm(stage)
+        )
         if src is None:
             return StageResult(stage, 0, time.time() - t0, None)
         fresh = self.ckpt.filter_new(src, stage, key_col="key")
@@ -270,7 +278,9 @@ class Pipeline:
             t0 = time.time()
             stage = f"rollup_{tier_step}"
             step = parse_step(tier_step)
-            finer = self.table(source_name).read(self.spark)
+            finer = self.table(source_name).read(
+                self.spark, min_ts_us=self.ckpt.global_min_hwm(stage)
+            )
             if finer is None:
                 results.append(StageResult(stage, 0, time.time() - t0, None))
                 continue

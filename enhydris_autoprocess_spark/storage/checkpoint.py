@@ -63,6 +63,15 @@ class CheckpointStore:
             int(k): int(v) for k, v in self._state["stages"].get(stage, {}).items()
         }
 
+    def global_min_hwm(self, stage: str) -> int | None:
+        """Min HWM across buckets, valid as a coarse lower bound only
+        when every bucket has one (else an unseen bucket's history would
+        be pruned away). Used for storage-level partition pruning."""
+        hwms = self.hwms(stage)
+        if len(hwms) == self.n_buckets:
+            return min(hwms.values())
+        return None
+
     def filter_new(
         self,
         df: DataFrame,

@@ -69,9 +69,23 @@ class Snapshot:
 
 
 class TierTable:
-    def __init__(self, root: str, partition_by: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        root: str,
+        partition_by: tuple[str, ...] = (),
+        partition_days_col: str | None = None,
+    ):
+        """``partition_days_col``: name of a timestamp column to
+        partition data directories by day — the analog of Iceberg's
+        hidden ``days(ts)`` transform (and of the reference's
+        TimescaleDB hypertable time-chunking,
+        tests/test_models.py:64-67). The derived ``__day`` column lives
+        only in the file layout: ``append`` adds it, ``read`` prunes on
+        it (``min_ts_us``) and drops it before returning.
+        """
         self.root = root
         self.partition_by = tuple(partition_by)
+        self.partition_days_col = partition_days_col
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
     @property
@@ -99,9 +113,16 @@ class TierTable:
         snaps = self.snapshots()
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
         data_dir = os.path.join(self.root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        parts = list(self.partition_by)
+        if (
+            self.partition_days_col is not None
+            and self.partition_days_col in df.columns
+        ):
+            df = df.withColumn("__day", F.to_date(F.col(self.partition_days_col)))
+            parts.insert(0, "__day")
         writer = df.write.mode("errorifexists")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
+        if parts:
+            writer = writer.partitionBy(*parts)
         writer.parquet(data_dir)
         # count from the files we just wrote (no recompute of df's lineage)
         spark = df.sparkSession
@@ -122,9 +143,19 @@ class TierTable:
         return snap
 
     def read(
-        self, spark: SparkSession, as_of_snapshot: int | None = None
+        self,
+        spark: SparkSession,
+        as_of_snapshot: int | None = None,
+        min_ts_us: int | None = None,
     ) -> DataFrame | None:
-        """Read the table at (up to) a snapshot; None if empty."""
+        """Read the table at (up to) a snapshot; None if empty.
+
+        ``min_ts_us``: day-granular partition pruning for incremental
+        consumers — directories for days strictly before the HWM's day
+        are never listed into the scan (``__day >= date(hwm)`` keeps
+        same-day rows; the caller's exact ``ts > hwm`` filter does the
+        rest).
+        """
         dirs = []
         for s in self.snapshots():
             if as_of_snapshot is not None and s.snapshot_id > as_of_snapshot:
@@ -132,7 +163,22 @@ class TierTable:
             dirs.append(s.data_dir)
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        # Each snapshot dir is its own (possibly day-partitioned) table
+        # root; a combined multi-path read fails basePath discovery
+        # (CONFLICTING_DIRECTORY_STRUCTURES) — and a reader handle can't
+        # know how an existing table was written. Per-dir scans union
+        # cheaply and filters still push into every scan.
+        from functools import reduce
+
+        parts = [spark.read.option("basePath", d).parquet(d) for d in dirs]
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+        if "__day" in df.columns:
+            if min_ts_us is not None:
+                df = df.where(
+                    F.col("__day") >= F.to_date(F.timestamp_micros(F.lit(min_ts_us)))
+                )
+            df = df.drop("__day")
+        return df
 
     def read_or_empty(
         self, spark: SparkSession, schema: str, as_of_snapshot: int | None = None

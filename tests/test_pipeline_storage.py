@@ -197,3 +197,48 @@ def test_compressed_tier_round_trip_with_flags(spark, transcripts, tmp_path):
     assert TierTable(f"{root}/agg_H_sum_gorilla").current_snapshot().properties[
         "source_snapshot"
     ] == 1
+
+
+def test_day_partitioned_tier_and_pruned_read(spark, tmp_path):
+    """days(ts) hidden partitioning: data dirs split by __day, read()
+    prunes whole days via min_ts_us, and the partition column never
+    leaks into the returned schema."""
+    import glob
+    import os
+
+    root = str(tmp_path / "day_tier")
+    t = TierTable(root, partition_days_col="ts")
+    rows = [
+        ("a", dt.datetime(2025, 1, 1, 10, 0), 1.0),
+        ("a", dt.datetime(2025, 1, 2, 10, 0), 2.0),
+        ("a", dt.datetime(2025, 1, 3, 10, 0), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    snap = t.append(df)
+    day_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(f"{snap.data_dir}/__day=*")
+    )
+    assert day_dirs == ["__day=2025-01-01", "__day=2025-01-02", "__day=2025-01-03"]
+
+    full = t.read(spark)
+    assert set(full.columns) == {"key", "ts", "value"}
+    assert full.count() == 3
+
+    # prune at an HWM inside day 2: day 1 dropped, day 2+3 kept
+    hwm_us = int(dt.datetime(2025, 1, 2, 12, 0).timestamp() * 1_000_000)
+    pruned = t.read(spark, min_ts_us=hwm_us)
+    assert {r.value for r in pruned.collect()} == {2.0, 3.0}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__day" in plan  # pruning happens on the partition column
+
+
+def test_pipeline_tiers_are_day_partitioned(spark, transcripts, tmp_path):
+    import glob
+
+    root = str(tmp_path / "tiers_daypart")
+    p = Pipeline(spark, root, CFG, use_sql_gapfill=True)
+    p.run(transcripts, finalize=True)
+    snap = p.table("rollup_1min").current_snapshot()
+    assert glob.glob(f"{snap.data_dir}/__day=*"), "rollup tier not day-partitioned"
+    # and the read-back schema is clean
+    assert "__day" not in p.table("rollup_1min").read(spark).columns
