@@ -18,7 +18,11 @@ reference reads each series from ``target.end_date + 1min``
 (models.py:61-65), i.e. it assumes per-series event-time-monotone
 ingestion. Here the checkpoint key is the hash-bucket of conv_id
 (per-partition checkpoints at 10^12-turn scale), so the contract is
-monotone ingestion per bucket. HWM advancement is stage-aware:
+monotone ingestion per bucket. When that assumption cannot hold
+(late / out-of-order uploads), use incremental.py's
+SnapshotIncrementalRollup instead: snapshot-range source reads +
+merge-on-read tiers stay exact under arbitrary arrival order.
+HWM advancement is stage-aware:
 
 - ``checked``: max processed source ts per bucket (raw rows are final
   the moment they're checked);

@@ -147,6 +147,8 @@ class TierTable:
         spark: SparkSession,
         as_of_snapshot: int | None = None,
         min_ts_us: int | None = None,
+        after_snapshot: int | None = None,
+        with_snapshot_id: bool = False,
     ) -> DataFrame | None:
         """Read the table at (up to) a snapshot; None if empty.
 
@@ -155,12 +157,23 @@ class TierTable:
         are never listed into the scan (``__day >= date(hwm)`` keeps
         same-day rows; the caller's exact ``ts > hwm`` filter does the
         rest).
+
+        ``after_snapshot``: snapshot-incremental read — only data
+        committed by snapshots STRICTLY AFTER the given id (Iceberg's
+        incremental append scan). Arrival-ordered, so consumers see
+        late/out-of-order event-time rows exactly once.
+
+        ``with_snapshot_id``: attach ``__snap`` (the committing
+        snapshot's id) to every row — the version column merge-on-read
+        readers resolve on.
         """
-        dirs = []
+        dirs: list[tuple[int, str]] = []
         for s in self.snapshots():
             if as_of_snapshot is not None and s.snapshot_id > as_of_snapshot:
                 break
-            dirs.append(s.data_dir)
+            if after_snapshot is not None and s.snapshot_id <= after_snapshot:
+                continue
+            dirs.append((s.snapshot_id, s.data_dir))
         if not dirs:
             return None
         # Each snapshot dir is its own (possibly day-partitioned) table
@@ -170,7 +183,12 @@ class TierTable:
         # cheaply and filters still push into every scan.
         from functools import reduce
 
-        parts = [spark.read.option("basePath", d).parquet(d) for d in dirs]
+        parts = []
+        for sid, d in dirs:
+            p = spark.read.option("basePath", d).parquet(d)
+            if with_snapshot_id:
+                p = p.withColumn("__snap", F.lit(sid))
+            parts.append(p)
         df = reduce(lambda a, b: a.unionByName(b), parts)
         if "__day" in df.columns:
             if min_ts_us is not None:
