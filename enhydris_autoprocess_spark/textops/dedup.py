@@ -225,15 +225,30 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    shingle_k: int = 2,
 ) -> DataFrame:
-    """SimHash (64-bit) near-dup candidates via 4x16-bit band blocking.
+    """SimHash (64-bit) near-dup candidates via pigeonhole band blocking.
 
-    Two docs within Hamming distance 3 share at least one of the four
-    16-bit blocks (pigeonhole), so blocking is exact for the radius.
-    Output: id_a < id_b, hamming.
+    Features are distinct ``shingle_k``-word shingles (default bigrams):
+    unigram features make every same-vocabulary document hash close —
+    on a 500-doc shared-vocab corpus unigrams yielded ~8k "near-dup"
+    pairs where bigrams yield only the planted ones. ``shingle_k=1``
+    recovers bag-of-words simhash.
+
+    Blocking splits the fingerprint into ``max_hamming + 1`` blocks, so
+    any pair within the radius shares at least one whole block
+    (pigeonhole) — exact for ANY radius, not just 3. Wider radii mean
+    narrower blocks and bigger candidate sets (the scale trade-off:
+    at 64/(k+1) bits per block, expect ~n²/2^(64/(k+1)) candidates per
+    block at n docs); keep max_hamming <= 3 for web-scale corpora.
+    Candidates verify by popcount. Output: id_a < id_b, hamming.
     """
-    words = F.split(_normalize(F.col(text_col)), " ")
-    hashes = F.transform(F.array_distinct(words), lambda s: F.xxhash64(s))
+    features = (
+        _shingles(F.col(text_col), shingle_k)
+        if shingle_k > 1
+        else F.array_distinct(F.split(_normalize(F.col(text_col)), " "))
+    )
+    hashes = F.transform(features, lambda s: F.xxhash64(s))
     # per-bit majority vote without exploding: sum sign of each bit.
     # Bit 63 is the two's-complement sign bit: its int64 literal is
     # -(2^63), and testing it via shiftrightunsigned avoids overflow.
@@ -254,15 +269,21 @@ def simhash_dedup_pairs(
         fp = fp + F.when(v > 0, _bit_lit(i)).otherwise(F.lit(0).cast("long"))
     base = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
 
+    n_blocks = min(max_hamming + 1, 16)
+    base_w, extra = divmod(64, n_blocks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def _chunk(i: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("fp"), offsets[i])
+        if widths[i] >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
+
     blocks = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("block"),
-                F.shiftrightunsigned(F.col("fp"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("chunk"),
-            )
-            for i in range(4)
+            F.struct(F.lit(i).alias("block"), _chunk(i).alias("chunk"))
+            for i in range(n_blocks)
         ]
     )
     banded = base.select("id", "fp", F.explode(blocks).alias("b")).select(
