@@ -46,6 +46,7 @@ from enhydris_autoprocess_spark.schema import nan_to_null
 from enhydris_autoprocess_spark.textops import (
     brute_force_cosine_topk,
     document_fingerprint,
+    embedding_near_dup_pairs,
     exact_dedup,
     language_id,
     lsh_cosine_topk,
@@ -292,6 +293,19 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact method (oracle-checked).
+    The test embeddings have no planted dups (max pairwise cosine
+    ~0.51), so the threshold sits in the distribution tail to produce
+    verifiable rows; the LSH scale path is pinned by pytest recall
+    tests on planted near-dups instead."""
+    out = embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.35, method="exact",
+        round_digits=None,
+    )
+    return out.select("id_a", "id_b", round6(F.col("cosine")).alias("cosine"))
+
+
 # --- no-oracle (rows-only) ops ------------------------------------------------
 
 
@@ -357,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -564,6 +579,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.s, b.s)) * 1.0
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              floor(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                    * 1000000 + 0.5) / 1000000 AS cosine
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.35
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

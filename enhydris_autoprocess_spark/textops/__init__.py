@@ -4,7 +4,11 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
-from .similarity import brute_force_cosine_topk, lsh_cosine_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+)
 from .quality import (  # noqa: F401
     document_fingerprint,
     language_id,

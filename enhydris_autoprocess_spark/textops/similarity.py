@@ -79,6 +79,30 @@ def brute_force_cosine_topk(
     )
 
 
+def _sign_signature(
+    vec: Column, planes: np.ndarray, bands: int, bits_per_band: int
+) -> Column:
+    """Random-hyperplane (sign) LSH signature: per band, one
+    ``bits_per_band``-bit bucket id from the projection signs."""
+    sigs = []
+    for b in range(bands):
+        bits = F.lit(0).cast("long")
+        for j in range(bits_per_band):
+            p = planes[b * bits_per_band + j]
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits = bits + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sigs.append(F.struct(F.lit(b).alias("band"), bits.alias("bucket")))
+    return F.array(*sigs)
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,23 +125,7 @@ def lsh_cosine_topk(
     planes = rng.randn(bands * bits_per_band, dim)
 
     def signature(vec: Column) -> Column:
-        sigs = []
-        for b in range(bands):
-            bits = F.lit(0).cast("long")
-            for j in range(bits_per_band):
-                p = planes[b * bits_per_band + j]
-                proj = F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in p]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                bits = bits + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            sigs.append(F.struct(F.lit(b).alias("band"), bits.alias("bucket")))
-        return F.array(*sigs)
+        return _sign_signature(vec, planes, bands, bits_per_band)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -142,4 +150,69 @@ def lsh_cosine_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: int = 64,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 7,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine).
+
+    ``method="exact"``: all-pairs self-join — the oracle path,
+    quadratic, for small inputs / verification. ``method="lsh"`` (the
+    scale path): sign-LSH self-banding — candidates are bucket
+    collisions in any band, then exact cosine verification, so returned
+    scores are exact and only recall is approximate (recall of a
+    cos-θ pair under b bands of r bits is 1-(1-(1-θ/π)^r)^b). The
+    bucket self-join shuffles by (band, bucket) — no broadcast needed,
+    collision groups are the only quadratic term.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if method == "exact":
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    elif method == "lsh":
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(bands * bits_per_band, dim)
+        sig = base.withColumn(
+            "bb", F.explode(_sign_signature(F.col("v"), planes, bands, bits_per_band))
+        )
+        a, b = sig.alias("a"), sig.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.bb") == F.col("b.bb")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    score = cosine(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        pairs.select("id_a", "id_b", score.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )

@@ -143,3 +143,36 @@ def test_multimodal_real_decode_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """Planted near-duplicate embeddings: the LSH path must find every
+    planted pair the exact path finds (same scorer, candidate recall
+    only), with zero extra pairs (exact verification)."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.textops import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant 10 near-dups: tiny perturbations of the first 10 vectors
+    for i in range(10):
+        rows.append((100 + i, [float(x) for x in base[i] + 0.02 * rng.randn(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.9, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, method="lsh", bands=16, bits_per_band=8
+        ).collect()
+    }
+    assert exact == {(i, 100 + i) for i in range(10)}
+    assert lsh <= exact  # no false positives (exact verify)
+    assert len(lsh) >= 9  # >=90% recall at these band settings
