@@ -129,6 +129,75 @@ def minhash_signature(
     return minhash_from_hashes(base_hashes(text, shingle_k), num_hashes, seed)
 
 
+def minhash_signature_fast(
+    text: Column, num_hashes: int = 64, shingle_k: int = 3, seed: int = 1
+) -> Column:
+    """One-UDF minhash: normalized split stays JVM/codegen; everything
+    per-element moves into a single Arrow batch kernel.
+
+    ``base_hashes``'s higher-order lambdas (slice/array_join/xxhash64
+    per shingle) are interpreted ~2µs/element — several seconds per
+    million shingles. Here word hashing is one vectorized
+    ``pd.util.hash_array`` over the batch's flattened words
+    (deterministic SipHash-style, fixed key), shingle hashes are a
+    rolling polynomial combine of k consecutive word hashes (numpy,
+    no string materialization), and the (shingles × perms) min is the
+    same outer-product kernel as before. MinHash needs SET semantics
+    but min over a multiset equals min over its set, so no distinct
+    pass is needed. Signature VALUES differ from
+    ``minhash_signature`` (different shingle hash function); Jaccard
+    estimates are equivalent.
+    """
+    params = minhash_params(num_hashes, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)
+    b = np.array([p[1] for p in params], dtype=np.int64)
+    empty = np.zeros(num_hashes, dtype=np.int64)
+    k = shingle_k
+
+    @pandas_udf("array<long>")
+    def mh(wcol: pd.Series) -> pd.Series:
+        lens = np.array([len(w) if w is not None else 0 for w in wcol])
+        if lens.sum() == 0:
+            return pd.Series([empty] * len(wcol))
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in wcol if w is not None and len(w)]
+        )
+        wh = (
+            pd.util.hash_array(flat.astype("U")).view(np.int64) % _MERSENNE
+        ).astype(np.int64)
+        # rolling polynomial combine: sh[i] = sum_j wh[i+j]*C^(k-1-j) mod p
+        C = 1_000_003
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        out = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n == 0:
+                out.append(empty)
+                continue
+            h = wh[s:e]
+            if n <= k:
+                sh = np.array([_poly(h, C)], dtype=np.int64)
+            else:
+                m = n - k + 1
+                sh = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    sh = (sh * C + h[j : j + m]) % _MERSENNE
+            sig = ((sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
+            out.append(sig)
+        return pd.Series(out)
+
+    words = F.split(_normalize(text), " ")
+    return mh(words)
+
+
+def _poly(h: np.ndarray, c: int) -> int:
+    acc = 0
+    for v in h.tolist():
+        acc = (acc * c + v) % _MERSENNE
+    return acc
+
+
 class _SplitMix:
     """Deterministic 64-bit stream (SplitMix64) for permutation params."""
 
@@ -159,16 +228,12 @@ def minhash_dedup_pairs(
     Output: id_a < id_b, est_jaccard (fraction of matching minhashes).
     """
     rows_per_band = num_hashes // bands
-    with_sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            base_hashes(F.col(text_col), shingle_k).alias("__h"),
-        )
-        .select(
-            "id", minhash_from_hashes(F.col("__h"), num_hashes, seed).alias("sig")
-        )
-        .persist()
-    )
+    with_sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_fast(F.col(text_col), num_hashes, shingle_k, seed).alias(
+            "sig"
+        ),
+    ).persist()
 
     band_cols = []
     for b in range(bands):
