@@ -137,7 +137,7 @@ def q_curve_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = curve_interpolation(_events_series(spark, sf_dir), CURVE_CFG)
     return out.select(
         "event_id",
-        F.round(nan_to_null(F.col("value")), 6).alias("value_out"),
+        round6(nan_to_null(F.col("value"))).alias("value_out"),
         "flags",
     )
 
@@ -411,8 +411,10 @@ def oracle_sql() -> dict[str, str]:
         "curve_interp": """
             SELECT event_id,
               CASE WHEN value < 0.0 OR value > 400.0 THEN NULL
-                   WHEN value <= 100.0 THEN round(10.0 + (value - 0.0) * 0.5, 6)
-                   ELSE round(60.0 + (value - 100.0) * 1.0, 6) END AS value_out,
+                   WHEN value <= 100.0
+                     THEN floor((10.0 + (value - 0.0) * 0.5) * 1000000 + 0.5) / 1000000
+                   ELSE floor((60.0 + (value - 100.0) * 1.0) * 1000000 + 0.5) / 1000000
+                   END AS value_out,
               '' AS flags
             FROM events
         """,

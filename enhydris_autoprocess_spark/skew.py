@@ -50,9 +50,19 @@ def chunked_apply_in_pandas(
         raise ValueError("halo must be smaller than the chunk span")
 
     us = ts_micros(F.col(ts_col))
-    home = (us / F.lit(chunk_span_us)).cast("long")
-    prev_chunk = ((us + F.lit(halo_us)) / F.lit(chunk_span_us)).cast("long")
-    next_chunk = ((us - F.lit(halo_us)) / F.lit(chunk_span_us)).cast("long")
+
+    # Exact integer floor-division for chunk ids: a double quotient
+    # (us / span) at epoch-micros magnitudes (~1.7e15) has only ~0.25
+    # units of precision left and can round UP across an integer
+    # boundary, assigning a boundary row to the wrong home/halo chunk
+    # (emitted once, but possibly filled without its halo context).
+    def _chunk_id(micros):
+        return ((micros - F.pmod(micros, F.lit(chunk_span_us)))
+                / F.lit(chunk_span_us)).cast("long")
+
+    home = _chunk_id(us)
+    prev_chunk = _chunk_id(us + F.lit(halo_us))
+    next_chunk = _chunk_id(us - F.lit(halo_us))
 
     base = df.withColumn("__home", home)
     # replicate boundary rows into the neighboring chunk(s) as halo

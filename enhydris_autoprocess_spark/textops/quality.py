@@ -86,10 +86,13 @@ def language_id(
     scores = {lang: _stopword_count(words, sw) for lang, sw in _LANGS.items()}
     best_lang = F.lit("und")
     best_score = F.lit(1)  # need >= 2 hits to claim a language
-    # deterministic priority: en > de > fr on ties (iteration order)
+    # Strict `s > best_score` over iteration order (fr, de, en) means an
+    # EARLIER language keeps the crown on ties: fr beats de beats en.
+    # This matches the oracle SQL's CASE ordering (en requires
+    # > greatest(de, fr), etc.) — do not "fix" to en-first without
+    # changing both sides.
     for lang in ("fr", "de", "en"):
         s = scores[lang]
-        cond = s >= F.greatest(best_score, F.lit(2))
         best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
         best_score = F.greatest(best_score, s)
     return df.select(F.col(id_col), best_lang.alias("lang_pred"))
