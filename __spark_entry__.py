@@ -306,23 +306,57 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", round6(F.col("cosine")).alias("cosine"))
 
 
-# --- no-oracle (rows-only) ops ------------------------------------------------
+# --- LSH ops, oracle-checked through output invariants -------------------------
+#
+# The LSH internals (signatures, banding) are not SQL-expressible, but
+# their OUTPUTS are verifiable: candidates re-verified by an exact
+# measure must equal the exact all-pairs answer whenever LSH recall is
+# 1 — and the gate parameters below make a miss astronomically
+# unlikely on the test corpus (planted dups have shingle-Jaccard
+# >= 0.889 vs background < 0.15, so a 16-band/4-row signature misses a
+# qualifying pair w.p. (1-0.9^4)^16 ~ 4e-8; gate cosines ~0.25-0.40
+# under 64 bands x 2 bits miss w.p. ~1e-12). The driver gate therefore
+# catches any real regression in the LSH machinery end-to-end.
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_dedup_pairs(
-        _documents(spark, sf_dir), threshold=0.5
+    """MinHash LSH candidates -> exact shingle-Jaccard verification.
+
+    Oracle: exact all-pairs Jaccard >= 0.5 (equal iff banding recall
+    is 1 at the gate scale — see section comment)."""
+    docs = _documents(spark, sf_dir)
+    cand = minhash_dedup_pairs(docs, threshold=0.5)
+    verified = ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+    return verified.select(
+        "id_a", "id_b", round6(F.col("jaccard")).alias("jaccard")
     )
 
 
-def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_dedup_pairs(_documents(spark, sf_dir), max_hamming=8)
-
-
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-k at recall~1 gate parameters (64 bands x
+    2 bits). Oracle: brute-force top-k — identical scorer + rounding +
+    tie-break on both sides, so equality holds iff every true top-5
+    neighbor was an LSH candidate."""
     emb = _embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 5)
-    return lsh_cosine_topk(emb, q, k=5, dim=64, bands=8, bits_per_band=8)
+    out = lsh_cosine_topk(emb, q, k=5, dim=64, bands=64, bits_per_band=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
+# --- no-oracle (rows-only) ops ------------------------------------------------
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash is the one genuinely no-oracle entry left: its planted
+    recall is 24/25 by construction (one planted pair sits outside the
+    Hamming radius), so an exact-verification oracle would mismatch by
+    design; pinned by pytest planted-dup tests instead."""
+    return simhash_dedup_pairs(_documents(spark, sf_dir), max_hamming=8)
 
 
 # -------------------------------------------------------------------------------
@@ -593,6 +627,40 @@ def oracle_sql() -> dict[str, str]:
               AND list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                   >= 0.35
+        """,
+        "minhash_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                list_distinct([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+              FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              floor(len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(list_concat(a.s, b.s))) * 1000000 + 0.5)
+                / 1000000 AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "lsh_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (SELECT query_id, neighbor_id,
+                    floor(list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                          * 1000000 + 0.5) / 1000000 AS score
+                  FROM q, c WHERE query_id <> neighbor_id),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
