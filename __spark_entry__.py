@@ -143,12 +143,29 @@ def q_curve_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_regularize_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSTANTANEOUS mode: nearest record per slot (sampled channel)."""
     out = regularize(
         _events_series(spark, sf_dir).select("user_id", "ts", "value", "flags"),
         parse_step("10min"),
+        mode="INSTANTANEOUS",
         key_col="user_id",
     )
     return out.select("user_id", "ts", "value", "flags")
+
+
+def q_regularize_interval_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL mode: contributions summed per slot (interval channel,
+    e.g. per-interval totals) — the reference's mode for every
+    non-mean aggregation method (models.py:479-481)."""
+    out = regularize(
+        _events_series(spark, sf_dir).select("user_id", "ts", "value", "flags"),
+        parse_step("10min"),
+        mode="INTERVAL",
+        key_col="user_id",
+    )
+    return out.select(
+        "user_id", "ts", round6(nan_to_null(F.col("value"))).alias("value_sum"), "flags"
+    )
 
 
 def q_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rocc_check": q_rocc_check,
         "curve_interp": q_curve_interp,
         "regularize_10min": q_regularize_10min,
+        "regularize_interval_10min": q_regularize_interval_10min,
         "agg_hourly": q_agg_hourly,
         "gapfill_10min": q_gapfill_10min,
         "rollup_hourly": q_rollup_hourly,
@@ -463,6 +481,22 @@ def oracle_sql() -> dict[str, str]:
               FROM g)
             SELECT user_id, make_timestamp(grid) AS ts, value,
               CASE WHEN us <> grid THEN 'DATEINSERT' ELSE '' END AS flags
+            FROM r WHERE rn = 1
+        """,
+        "regularize_interval_10min": """
+            WITH g AS (
+              SELECT user_id, value, epoch_us(ts) AS us,
+                (epoch_us(ts) + 300000000) - (epoch_us(ts) + 300000000) % 600000000 AS grid
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, grid ORDER BY abs(us - grid), us) AS rn,
+                count(*) OVER (PARTITION BY user_id, grid) AS cnt,
+                sum(value) OVER (PARTITION BY user_id, grid) AS vsum
+              FROM g)
+            SELECT user_id, make_timestamp(grid) AS ts,
+              floor(vsum * 1000000 + 0.5) / 1000000 AS value_sum,
+              CASE WHEN us <> grid OR cnt > 1 THEN 'DATEINSERT' ELSE '' END AS flags
             FROM r WHERE rn = 1
         """,
         "agg_hourly": """

@@ -7,10 +7,11 @@ tests/test_models.py:941-1044): source at nominal 10-min cadence with
 off-grid rows 10:21 and 10:31 aggregates as if those rows sat at 10:20
 and 10:30 — i.e. each grid point takes the value of the nearest source
 record within step/2. tests/test_models.py:1087-1130 pins the mode
-choice (mean -> INSTANTANEOUS, else INTERVAL); the goldens do not
-distinguish the modes' value semantics, so both snap
-nearest-within-half-step here (documented divergence risk, SURVEY.md
-§7 watch-list (a)).
+choice (mean -> INSTANTANEOUS, else INTERVAL); the modes' VALUE
+semantics differ when several records snap to one slot: INSTANTANEOUS
+keeps the nearest sample, INTERVAL sums the contributions (interval
+quantities like per-interval totals must not drop records). See
+``regularize``'s docstring; pinned by a pandas oracle test.
 
 Implementation (no UDFs):
 1. grid = half-up rounding of epoch micros to the step;
@@ -45,15 +46,19 @@ INTERVAL = "INTERVAL"
 
 def infer_time_step(
     df: DataFrame, key_col: str = "key", ts_col: str = "ts"
-) -> dict[str, int]:
+) -> DataFrame:
     """Per-key modal timestamp delta in seconds (W3 in SURVEY.md §2.3).
 
     The reference calls ``pd.infer_freq`` on the whole index
     (models.py:499-500) and fails the job when there is none
     (tests/test_models.py:1047-1084). Distributed analog: the mode of
-    consecutive deltas per key — one window lag + one count. Returns
-    {key: step_seconds}; keys with < 2 rows are absent (caller decides
-    whether that is the reference's graceful-failure path).
+    consecutive deltas per key — one window lag + one count. Returns a
+    DataFrame (key_col, step_seconds); keys with < 2 rows are absent
+    (caller decides whether that is the reference's graceful-failure
+    path). Stays a DataFrame so callers broadcast-join it against the
+    series instead of collecting one row per key to the driver — a
+    driver OOM at 10^8 keys. For the tiny-config case, collect at the
+    call site.
     """
     us = ts_micros(F.col(ts_col))
     w = Window.partitionBy(key_col).orderBy(us)
@@ -66,13 +71,14 @@ def infer_time_step(
     pick = Window.partitionBy(key_col).orderBy(
         F.col("count").desc(), F.col("__d").asc()
     )
-    rows = (
+    return (
         deltas.withColumn("__rn", F.row_number().over(pick))
         .where(F.col("__rn") == 1)
-        .select(key_col, "__d")
-        .collect()
+        .select(
+            key_col,
+            (F.col("__d") / F.lit(1_000_000)).cast("long").alias("step_seconds"),
+        )
     )
-    return {r[key_col]: int(r["__d"]) // 1_000_000 for r in rows}
 
 
 def mode_for_method(method: str) -> str:
@@ -83,7 +89,7 @@ def mode_for_method(method: str) -> str:
 def regularize(
     df: DataFrame,
     step: Step,
-    mode: str = INTERVAL,  # noqa: ARG001 — kept for parity; see module doc
+    mode: str = INTERVAL,
     complete: bool = False,
     new_date_flag: str = "DATEINSERT",
     key_col: str = "key",
@@ -91,6 +97,28 @@ def regularize(
     value_col: str = "value",
     flags_col: str = "flags",
 ) -> DataFrame:
+    """Snap to the step grid; value semantics depend on ``mode``:
+
+    - INSTANTANEOUS (reference: method == "mean", models.py:479-481):
+      each grid point takes the VALUE OF THE NEAREST source record
+      within step/2 — sampled quantities (temperature) must not be
+      summed when two samples land in one slot.
+    - INTERVAL (every other method): each grid point takes the SUM of
+      all source records snapping to it — interval quantities
+      (rainfall totals per interval) must not drop a record when two
+      land in one slot. NaN contributions are skipped; an all-NaN slot
+      stays NaN. The kept row's non-value columns (flags, carried ids)
+      come from the nearest record, and ``new_date_flag`` is appended
+      when the value was not a single untouched on-grid record (moved,
+      or >1 contributor).
+
+    Both modes emit the same row set (one row per occupied grid slot),
+    so downstream MISS counting is mode-independent. Pinned by a
+    pandas-resample oracle test (tests/test_config_misc.py) since the
+    reference goldens only pin mode *selection*.
+    """
+    if mode not in (INSTANTANEOUS, INTERVAL):
+        raise ValueError(f"unknown regularization mode: {mode!r}")
     step_us = step.micros
     micros = ts_micros(F.col(ts_col))
     # Half-up rounding: floor((t + step/2) / step) * step — pure long
@@ -101,16 +129,35 @@ def regularize(
     dist = F.abs(micros - grid)
 
     w = Window.partitionBy(key_col, "__grid").orderBy("__dist", ts_col)
-    out = (
-        df.withColumn("__grid", grid)
-        .withColumn("__dist", dist)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .withColumn(
+    out = df.withColumn("__grid", grid).withColumn("__dist", dist)
+    if mode == INTERVAL:
+        wg = Window.partitionBy(key_col, "__grid")
+        known = F.when(~F.isnan(F.col(value_col)), F.col(value_col))
+        out = (
+            out.withColumn("__sum", F.sum(known).over(wg))
+            .withColumn("__cnt", F.count(F.lit(1)).over(wg))
+        )
+    out = out.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    if mode == INTERVAL:
+        out = (
+            out.withColumn(value_col, F.coalesce(F.col("__sum"), F.lit(NAN)))
+            .withColumn(
+                flags_col,
+                append_flag(
+                    F.col(flags_col),
+                    (F.col("__dist") > 0) | (F.col("__cnt") > 1),
+                    new_date_flag,
+                ),
+            )
+            .drop("__sum", "__cnt")
+        )
+    else:
+        out = out.withColumn(
             flags_col,
             append_flag(F.col(flags_col), F.col("__dist") > 0, new_date_flag),
         )
-        .withColumn(ts_col, F.timestamp_micros(F.col("__grid")))
+    out = (
+        out.withColumn(ts_col, F.timestamp_micros(F.col("__grid")))
         .drop("__dist", "__rn")
     )
 

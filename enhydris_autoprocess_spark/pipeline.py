@@ -202,9 +202,12 @@ class Pipeline:
         if src is None:
             return StageResult(stage, 0, time.time() - t0, None)
         fresh = self.ckpt.filter_new(src, stage, key_col="key")
+        from .operators.regularize import mode_for_method
+
         reg = regularize(
             fresh.select("key", "ts", "value", "flags"),
             parse_step(self.cfg.source_time_step),
+            mode=mode_for_method(cfg.method),
         )
         # trim against the RAW slice end (models.py:470) — also avoids
         # recomputing the regularize subtree for a per-key max

@@ -117,7 +117,11 @@ class CheckpointStore:
         lineage: dict | None = None,
     ) -> dict:
         """Compute per-bucket max ts of the processed slice and persist,
-        recording a run entry with lineage + metrics. Returns the run."""
+        recording a run entry with lineage + metrics. Returns the run.
+
+        The collect here is bounded by ``n_buckets`` rows (the
+        checkpoint document is deliberately driver-side JSON), not by
+        data size — unlike per-key collects, it cannot OOM at scale."""
         rows = (
             df.groupBy(bucket_col(F.col(key_col), self.n_buckets).alias("__b"))
             .agg(F.max(ts_micros(F.col(ts_col))).alias("__m"))

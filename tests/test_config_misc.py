@@ -77,7 +77,9 @@ def test_infer_time_step(spark):
     df = series_df(spark, idx_a, [1.0] * 6, [""] * 6, key="a").union(
         series_df(spark, idx_b, [1.0] * 6, [""] * 6, key="b")
     )
-    steps = infer_time_step(df)
+    step_df = infer_time_step(df)
+    assert step_df.columns == ["key", "step_seconds"]
+    steps = {r["key"]: r["step_seconds"] for r in step_df.collect()}
     assert steps == {"a": 600, "b": 60}
 
 
@@ -104,3 +106,74 @@ def test_calendar_monthly_aggregate(spark):
     assert rows[dt.datetime(2024, 2, 1)] == (31.0, "")
     assert rows[dt.datetime(2024, 3, 1)] == (29.0, "")
     assert rows[dt.datetime(2024, 4, 1)] == (30.0, "MISS")
+
+
+def test_regularize_interval_vs_instantaneous(spark):
+    """W2 mode value semantics: a sum-channel (INTERVAL) series with two
+    records snapping to one slot keeps the SUM; a sampled channel
+    (INSTANTANEOUS) keeps the nearest record. Pinned against a pandas
+    half-up-grid oracle (the reference goldens only pin mode selection,
+    models.py:479-481)."""
+    import pandas as pd
+
+    from enhydris_autoprocess_spark.operators.regularize import (
+        INSTANTANEOUS,
+        INTERVAL,
+        regularize,
+    )
+    from enhydris_autoprocess_spark.timeutil import parse_step
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    # slots: 10:00 <- {10:01}, 10:10 <- {10:08, 10:12}, 10:20 <- {10:20}
+    idx = [t0 + dt.timedelta(minutes=m) for m in (1, 8, 12, 20)]
+    vals = [1.0, 2.0, 4.0, 8.0]
+    df = series_df(spark, idx, vals, [""] * 4)
+
+    # pandas oracle: snap each record to its half-up grid slot
+    pdf = pd.DataFrame(
+        {"ts": [t.replace(tzinfo=None) for t in idx], "value": vals}
+    )
+    grid = (pdf.ts + pd.Timedelta(minutes=5)).dt.floor("10min")
+    o_sum = pdf.groupby(grid).value.sum()
+    nearest = pdf.assign(d=(pdf.ts - grid).abs()).sort_values(["d", "ts"])
+    o_near = nearest.groupby(grid[nearest.index]).value.first()
+
+    step = parse_step("10min")
+    got_i = dict(
+        (r["ts"], r["value"])
+        for r in regularize(df, step, mode=INTERVAL).collect()
+    )
+    got_n = dict(
+        (r["ts"], r["value"])
+        for r in regularize(df, step, mode=INSTANTANEOUS).collect()
+    )
+    assert got_i == {k.to_pydatetime(): v for k, v in o_sum.items()}
+    assert got_n == {k.to_pydatetime(): v for k, v in o_near.items()}
+    # the modes genuinely diverge on the shared slot
+    shared = dt.datetime(2024, 1, 1, 10, 10)
+    assert got_i[shared] == 6.0 and got_n[shared] == 2.0
+
+    # flags: single moved record and multi-contributor slots both get
+    # DATEINSERT in INTERVAL mode; only moved records do in INSTANTANEOUS
+    fl_i = dict(
+        (r["ts"], r["flags"])
+        for r in regularize(df, step, mode=INTERVAL).collect()
+    )
+    fl_n = dict(
+        (r["ts"], r["flags"])
+        for r in regularize(df, step, mode=INSTANTANEOUS).collect()
+    )
+    on_grid = dt.datetime(2024, 1, 1, 10, 20)
+    assert fl_i[on_grid] == "" and fl_n[on_grid] == ""
+    assert fl_i[shared] == "DATEINSERT" and fl_n[shared] == "DATEINSERT"
+
+    # NaN contributions are skipped; all-NaN slots stay missing
+    import numpy as np
+
+    df2 = series_df(spark, idx, [1.0, np.nan, 4.0, np.nan], [""] * 4)
+    got2 = dict(
+        (r["ts"], r["value"])
+        for r in regularize(df2, step, mode=INTERVAL).collect()
+    )
+    assert got2[shared] == 4.0
+    assert np.isnan(got2[on_grid])

@@ -190,7 +190,13 @@ def test_regularize_nearest_wins(spark):
         dt.datetime(2019, 5, 21, 10, 4, tzinfo=UTC),   # dist 4min from 10:00... rounds to 10:00? 4min -> grid 10:00 (dist 4)
     ]
     df = series_df(spark, idx, [1.0, 2.0], ["", ""])
-    out = regularize(df, parse_step("10min"))
+    out = regularize(df, parse_step("10min"), mode="INSTANTANEOUS")
     _, vals, flags = collect_series(out)
     assert_values_equal(vals, [1.0])
     assert flags == ["DATEINSERT"]
+    # INTERVAL mode sums the competing records instead (sum channels
+    # must not drop a contribution; models.py:479-481 mode selection)
+    out_i = regularize(df, parse_step("10min"), mode="INTERVAL")
+    _, vals_i, flags_i = collect_series(out_i)
+    assert_values_equal(vals_i, [3.0])
+    assert flags_i == ["DATEINSERT"]
