@@ -45,12 +45,18 @@ def complete_grid(
     value_col: str = "value",
     flags_col: str = "flags",
     new_date_flag: str = "DATEINSERT",
+    keep_offgrid: bool = False,
 ) -> DataFrame:
     """Materialize every step-multiple between each key's min and max ts.
 
-    ``sequence()`` + explode + left join; inserted rows get NaN value and
+    ``sequence()`` + explode + join; inserted rows get NaN value and
     the new_date_flag. One small per-key agg + one join, both on the key
     — co-partitioned with downstream per-key work.
+
+    ``keep_offgrid``: source rows whose ts is off the per-key
+    min-anchored grid don't match any generated slot; a plain left join
+    silently drops them. With ``keep_offgrid`` the join is FULL OUTER,
+    so off-grid rows survive unchanged alongside the grid rows.
     """
     step_us = step.micros
     src = df.withColumn("__us", ts_micros(F.col(ts_col)))
@@ -62,7 +68,11 @@ def complete_grid(
         F.explode(F.sequence("__g0", "__g1", F.lit(step_us))).alias("__us"),
     )
     out = (
-        full.join(src.drop(ts_col), [key_col, "__us"], "left")
+        full.join(
+            src.drop(ts_col),
+            [key_col, "__us"],
+            "full" if keep_offgrid else "left",
+        )
         .withColumn(ts_col, F.timestamp_micros(F.col("__us")))
         .withColumn(
             flags_col,
@@ -76,83 +86,6 @@ def complete_grid(
     return out
 
 
-def _fused_fill_pdf(
-    pdf: pd.DataFrame,
-    step_us: int,
-    ts_col: str,
-    value_col: str,
-    flags_col: str,
-    max_gap_slots: int | None,
-    fill_flag: str,
-    new_date_flag: str,
-    key_col: str,
-) -> pd.DataFrame:
-    """Grid-complete AND interpolate one key's frame in a single numpy
-    pass (no Spark-side sequence/join — the grid never exists as rows
-    until the Arrow batch leaving this UDF).
-
-    Matches ``complete_grid`` + ``_fill_pdf`` exactly for grid-aligned
-    input (what regularize emits): the grid is anchored at the key's
-    min ts; rows off the grid would not join in ``complete_grid`` and
-    are likewise dropped here.
-    """
-    pdf = pdf.sort_values(ts_col).reset_index(drop=True)
-    t = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-    if len(t) == 0:
-        return pdf
-    g0, g1 = t[0], t[-1]
-    n = int((g1 - g0) // step_us) + 1
-    on = (t - g0) % step_us == 0
-    pos = (t[on] - g0) // step_us
-
-    v = np.full(n, np.nan, dtype=np.float64)
-    v[pos] = pdf[value_col].to_numpy(dtype=np.float64)[on]
-    fl = np.full(n, new_date_flag, dtype=object)
-    fl[pos] = pdf[flags_col].to_numpy(dtype=object)[on]
-
-    missing = np.isnan(v)
-    if missing.any() and (~missing).any():
-        idx = np.arange(n)
-        known = idx[~missing]
-        right = np.searchsorted(known, idx, side="right")
-        prev_i = known[right - 1]
-        next_pos = np.searchsorted(known, idx, side="left")
-        can = missing & (right > 0) & (next_pos < len(known))
-        next_i = known[np.clip(next_pos, 0, len(known) - 1)]
-        if max_gap_slots is not None:
-            can &= (next_i - prev_i) <= (max_gap_slots + 1)
-        pi, ni = prev_i[can], next_i[can]
-        frac = (idx[can] - pi) / (ni - pi)
-        v[can] = v[pi] + frac * (v[ni] - v[pi])
-        sel = np.where(can)[0]
-        fl[sel] = [f"{s} {fill_flag}" if s else fill_flag for s in fl[sel]]
-
-    out = pd.DataFrame(index=pd.RangeIndex(n))
-    full_pos = np.full(n, -1, dtype=np.int64)
-    full_pos[pos] = np.where(on)[0]
-    for col in pdf.columns:
-        if col == ts_col:
-            out[col] = (g0 + np.arange(n, dtype=np.int64) * step_us).astype(
-                "datetime64[us]"
-            )
-        elif col == value_col:
-            out[col] = v
-        elif col == flags_col:
-            out[col] = fl
-        else:
-            src = pdf[col].to_numpy(dtype=object)
-            if col == key_col:
-                # the grouping key: inserted grid rows carry it too, as
-                # complete_grid's `full` (spans) side does
-                out[col] = np.full(n, src[0], dtype=object)
-            else:
-                carried = np.full(n, None, dtype=object)
-                hit = full_pos >= 0
-                carried[hit] = src[full_pos[hit]]
-                out[col] = carried
-    return out
-
-
 def _fill_block(
     pdf: pd.DataFrame,
     step_us: int,
@@ -163,6 +96,7 @@ def _fill_block(
     fill_flag: str,
     new_date_flag: str,
     key_col: str,
+    keep_offgrid: bool = True,
 ) -> pd.DataFrame:
     """Grid-complete + interpolate MANY keys in one numpy pass.
 
@@ -172,6 +106,14 @@ def _fill_block(
     so cost is O(output rows) with no per-group pandas objects — the
     per-group ``applyInPandas`` variant spent ~5ms/group on frame
     bookkeeping alone, which dominated at thousands of keys.
+
+    Input rows that do NOT land on the per-key min-anchored step grid,
+    and all-but-the-last of any duplicate (key, ts) grid rows, cannot
+    occupy a slot. With ``keep_offgrid`` they are passed through to the
+    output unchanged (never silently dropped — real transcripts are
+    not always aligned) but do not serve as interpolation anchors;
+    without it they are dropped (the historical behavior, kept for the
+    variant-equality tests on clean data).
     """
     k = pdf[key_col].to_numpy(dtype=object)
     t = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
@@ -193,6 +135,17 @@ def _fill_block(
     rel = t - g0[gidx]
     on = rel % step_us == 0
     pos = off[gidx[on]] + rel[on] // step_us
+    # duplicates: several on-grid rows can share a slot (same key, ts);
+    # the LAST one in sort order wins the slot, the rest pass through
+    on_idx = np.flatnonzero(on)
+    if len(pos):
+        kept_last = np.r_[pos[1:] != pos[:-1], True]
+    else:
+        kept_last = np.zeros(0, dtype=bool)
+    kept_idx = on_idx[kept_last]
+    pos = pos[kept_last]
+    on = np.zeros(m, dtype=bool)
+    on[kept_idx] = True
 
     vf = np.full(n, np.nan, dtype=np.float64)
     vf[pos] = v[on]
@@ -243,6 +196,9 @@ def _fill_block(
             hit = opos >= 0
             carried[hit] = src[opos[hit]]
             out[col] = carried
+    if keep_offgrid and not on.all():
+        extra = pdf.iloc[np.flatnonzero(~on)]
+        out = pd.concat([out, extra[list(pdf.columns)]], ignore_index=True)
     return out
 
 
@@ -295,6 +251,7 @@ def gap_fill(
     flags_col: str = "flags",
     chunk_span_slots: int | None = None,
     num_partitions: int | None = None,
+    keep_offgrid: bool = True,
 ) -> DataFrame:
     """Grid-complete then interpolate inside ``applyInPandas`` per key.
 
@@ -303,13 +260,25 @@ def gap_fill(
     ``max_gap_slots + 1`` slots of halo context (requires a bounded
     ``max_gap_slots``; see skew.chunked_apply_in_pandas). Output is
     identical to the unchunked path (tests pin this).
+
+    ``keep_offgrid`` (default on): input rows off the per-key
+    min-anchored grid, and duplicate (key, ts) rows beyond the one that
+    wins the slot, are passed through unchanged instead of silently
+    dropped — real transcripts are not always step-aligned, and the
+    checked tier must preserve every turn (per-turn text equality
+    invariant). Passed-through rows do not anchor interpolation in the
+    fused path. On grid-aligned, duplicate-free input (what regularize
+    emits) the flag has no effect.
     """
     if chunk_span_slots is not None:
         if max_gap_slots is None:
             raise ValueError("chunked gap-fill requires bounded max_gap_slots")
         from ..skew import chunked_apply_in_pandas
 
-        completed = complete_grid(df, step, key_col, ts_col, value_col, flags_col)
+        completed = complete_grid(
+            df, step, key_col, ts_col, value_col, flags_col,
+            keep_offgrid=keep_offgrid,
+        )
 
         def fill_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             return _fill_pdf(
@@ -374,6 +343,7 @@ def gap_fill(
             yield _fill_block(
                 block.iloc[lo:hi], step_us, ts_col, value_col, flags_col,
                 max_gap_slots, fill_flag, "DATEINSERT", key_col,
+                keep_offgrid=keep_offgrid,
             )[ordered]
             lo = hi
 
@@ -416,13 +386,30 @@ def gap_fill_sql(
     ts_col: str = "ts",
     value_col: str = "value",
     flags_col: str = "flags",
+    keep_offgrid: bool = True,
 ) -> DataFrame:
-    """JVM-only equivalent: anchors via last(ignorenulls) windows."""
-    completed = complete_grid(df, step, key_col, ts_col, value_col, flags_col)
+    """JVM-only equivalent: anchors via last(ignorenulls) windows.
+
+    With ``keep_offgrid``, off-grid source rows survive the grid join
+    (full outer) and pass through unchanged; like the fused path they
+    are excluded from the interpolation anchors (and from being
+    filled), so both paths agree on which rows anchor. Duplicate
+    (key, ts) grid rows each survive as their own row here (the grid
+    row joins every duplicate), where the fused path elects one slot
+    winner — same row multiset, variant-specific slot election.
+    """
+    completed = complete_grid(
+        df, step, key_col, ts_col, value_col, flags_col,
+        keep_offgrid=keep_offgrid,
+    )
     us = ts_micros(F.col(ts_col))
     v = F.col(value_col)
-    known_v = F.when(~F.isnan(v), v)
-    known_t = F.when(~F.isnan(v), us)
+    # off-grid = not on the per-key min-anchored grid (the grid is
+    # anchored at the key's min ts, which is itself always on-grid)
+    w_key = Window.partitionBy(key_col)
+    offgrid = F.pmod(us - F.min(us).over(w_key), F.lit(step.micros)) != 0
+    known_v = F.when(~F.isnan(v) & ~offgrid, v)
+    known_t = F.when(~F.isnan(v) & ~offgrid, us)
 
     wb = (
         Window.partitionBy(key_col)
@@ -441,6 +428,7 @@ def gap_fill_sql(
 
     can = (
         F.isnan(v)
+        & ~offgrid
         & prev_v.isNotNull()
         & next_v.isNotNull()
     )

@@ -171,15 +171,17 @@ class Pipeline:
         if self.gap_fill_enabled:
             fill = gap_fill_sql if self.use_sql_gapfill else gap_fill
             step = parse_step(self.cfg.source_time_step)
-            filled = fill(
-                checked.select("key", "ts", "value", "flags"),
+            # conv_id/turn_idx ride through the gap-fill schema (both
+            # variants round-trip extra columns; inserted grid rows get
+            # them NULL) — re-attaching them with a (key, ts) equi-join
+            # against the checked output would re-shuffle the whole
+            # checked table once more per run for nothing.
+            checked = fill(
+                checked.select(
+                    "key", "ts", "value", "flags", "conv_id", "turn_idx"
+                ),
                 step,
                 max_gap_slots=self.max_gap_slots,
-            )
-            checked = filled.join(
-                checked.select("key", "ts", "conv_id", "turn_idx"),
-                ["key", "ts"],
-                "left",
             )
         return self._commit(
             "checked",

@@ -113,3 +113,41 @@ def test_chunked_equals_unchunked(spark):
     for ra, rb in zip(plain, chunked):
         assert (ra.key, ra.ts, ra.flags) == (rb.key, rb.ts, rb.flags)
         assert (math.isnan(ra.value) and math.isnan(rb.value)) or ra.value == rb.value
+
+
+@pytest.mark.parametrize("impl", [gap_fill, gap_fill_sql], ids=["pandas", "sql"])
+def test_offgrid_and_duplicate_rows_are_preserved(spark, impl):
+    """Dirty input (off-grid timestamps, duplicate (key, ts) rows) must
+    never lose rows: non-slot rows pass through unchanged and do not
+    anchor interpolation (ADVICE r01: run_checked applied gap-fill to
+    the raw checked series and silently dropped such rows)."""
+    rows = [
+        # on-grid spine: 0, 3 (hole at 1, 2)
+        ("k", T0.replace(tzinfo=None), 10.0, ""),
+        ("k", T0.replace(tzinfo=None) + dt.timedelta(minutes=3), 40.0, ""),
+        # off-grid straggler at 1.5 min
+        ("k", T0.replace(tzinfo=None) + dt.timedelta(seconds=90), 99.0, "X"),
+        # duplicate at minute 3
+        ("k", T0.replace(tzinfo=None) + dt.timedelta(minutes=3), 41.0, "D"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, flags string"
+    )
+    out = impl(df, parse_step("1min")).collect()
+    # 4 grid slots (0..3) + 1 off-grid passthrough + 1 duplicate = 6 rows
+    assert len(out) == 6
+    by_ts = {}
+    for r in out:
+        by_ts.setdefault(r.ts, []).append(r)
+    off_ts = T0.replace(tzinfo=None) + dt.timedelta(seconds=90)
+    (off_row,) = by_ts[off_ts]
+    assert off_row.value == 99.0 and off_row.flags == "X"  # untouched
+    # interpolation used the grid anchors (10 @0, 4x @3), NOT the 99.0
+    t1 = T0.replace(tzinfo=None) + dt.timedelta(minutes=1)
+    (r1,) = by_ts[t1]
+    assert r1.flags == "DATEINSERT FILLED"
+    assert 10.0 < r1.value < 50.0  # lerp between spine values, not 99-pulled... 
+    # both duplicate values survive somewhere in the output
+    dup_ts = T0.replace(tzinfo=None) + dt.timedelta(minutes=3)
+    assert sorted(r.value for r in by_ts[dup_ts]) == [40.0, 41.0]
+    assert sorted(r.flags for r in by_ts[dup_ts]) == ["", "D"]
