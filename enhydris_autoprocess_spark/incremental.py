@@ -86,9 +86,16 @@ class SnapshotIncrementalRollup:
     """Maintains 1min/1H/1D tiers over an append-only transcripts
     TierTable, correct under arbitrary ingestion order."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, auto_compact_after: int | None = 8
+    ):
+        """``auto_compact_after``: compact a tier automatically at the
+        end of a run once more than this many snapshots sit above its
+        last compaction — bounds resolve_latest's merge-on-read window
+        cost without manual compact() calls (None disables)."""
         self.spark = spark
         self.root = root
+        self.auto_compact_after = auto_compact_after
         self.source = TierTable(os.path.join(root, "initial"), partition_days_col="ts")
         self.tiers = {
             s: TierTable(os.path.join(root, f"tier_{s}"), partition_days_col="ts")
@@ -110,6 +117,18 @@ class SnapshotIncrementalRollup:
         snaps = self.tiers[tier_name].snapshots()
         return max((int(s.properties.get("source_hi", 0)) for s in snaps), default=0)
 
+    def _fine_consumed(self, tier_name: str) -> int:
+        """Highest FINER-TIER snapshot this coarse tier has rolled up
+        (0 = none) — each tier carries its own consumed watermark, so a
+        crash between the finer append and this tier's append cannot
+        strand buckets (the next run sees the finer snapshot as
+        unconsumed here even though the finer tier itself is
+        up-to-date)."""
+        snaps = self.tiers[tier_name].snapshots()
+        return max(
+            (int(s.properties.get("fine_snap_hi", 0)) for s in snaps), default=0
+        )
+
     def tier(self, name: str) -> DataFrame | None:
         """The resolved (latest-wins) view of a tier."""
         raw = self.tiers[name].read(self.spark, with_snapshot_id=True)
@@ -118,44 +137,77 @@ class SnapshotIncrementalRollup:
     # -- the incremental run --------------------------------------------
 
     def run(self) -> dict[str, int]:
-        """Consume source snapshots not yet merged; returns rows
-        appended per tier (all zero = idempotent no-op)."""
-        cur = self.source.current_snapshot()
-        appended = {name: 0 for name in TIER_STEPS}
-        if cur is None:
-            return appended
-        lo = self._consumed_up_to("1min")
-        hi = cur.snapshot_id
-        if hi <= lo:
-            return appended
-        src_slice = self.source.read(self.spark, after_snapshot=lo, as_of_snapshot=hi)
-        lineage = {"source_lo": lo, "source_hi": hi, "source": "initial"}
+        """Consume unmerged snapshots per tier; returns rows appended
+        per tier (all zero = idempotent no-op).
 
-        # ---- 1min: partial of the new slice, merged additively --------
-        partial = rollup_transcripts(src_slice, "1min").persist()
-        existing = self.tier("1min")
-        if existing is not None:
-            # only resolve/merge tier rows for touched buckets: semi-join
-            # keeps the merge proportional to the slice, not the tier
-            touched = partial.select(*_KEYS).dropDuplicates()
-            existing = existing.join(touched, list(_KEYS), "left_semi")
-        merged = _merge_stats(partial, existing).persist()
-        n = merged.count()
-        if n:
-            self.tiers["1min"].append(merged, properties={**lineage, "rows": n})
-        appended["1min"] = n
-        partial.unpersist()
+        Every tier advances from its OWN consumed watermark: 1min from
+        the source snapshots it has merged (``source_hi``), each coarse
+        tier from the finer-tier snapshots it has rolled up
+        (``fine_snap_hi``). A crash after the 1min append but before
+        the 1H/1D appends therefore cannot strand buckets — the next
+        run finds the new 1min snapshot above the 1H tier's own
+        watermark and recomputes exactly the affected coarse buckets.
+        Compaction snapshots are excluded from delta reads (they
+        rewrite already-consumed rows, not new data)."""
+        appended = {name: 0 for name in TIER_STEPS}
+
+        # ---- 1min: partial of the new source slice, merged additively --
+        cur = self.source.current_snapshot()
+        lo = self._consumed_up_to("1min")
+        hi = cur.snapshot_id if cur is not None else 0
+        if hi > lo:
+            src_slice = self.source.read(
+                self.spark, after_snapshot=lo, as_of_snapshot=hi
+            )
+            partial = rollup_transcripts(src_slice, "1min").persist()
+            existing = self.tier("1min")
+            if existing is not None:
+                # only resolve/merge tier rows for touched buckets:
+                # semi-join keeps the merge proportional to the slice,
+                # not the tier
+                touched = partial.select(*_KEYS).dropDuplicates()
+                existing = existing.join(touched, list(_KEYS), "left_semi")
+            merged = _merge_stats(partial, existing).persist()
+            n = merged.count()
+            if n:
+                self.tiers["1min"].append(
+                    merged,
+                    properties={
+                        "source_lo": lo,
+                        "source_hi": hi,
+                        "source": "initial",
+                        "rows": n,
+                    },
+                )
+            appended["1min"] = n
+            partial.unpersist()
+            merged.unpersist()
 
         # ---- coarser tiers: recompute exactly the touched buckets -----
         # (1H from 1min, 1D from 1H — still never rescanning the facts)
-        changed = merged  # rows (re)written at the finer tier this run
-        prev = merged
         for fine, coarse in (("1min", "1H"), ("1H", "1D")):
             step = parse_step(coarse)
+            fine_cur = self.tiers[fine].current_snapshot()
+            fine_hi = fine_cur.snapshot_id if fine_cur is not None else 0
+            fine_lo = self._fine_consumed(coarse)
+            if fine_hi <= fine_lo:
+                continue
+            changed = self.tiers[fine].read(
+                self.spark,
+                after_snapshot=fine_lo,
+                as_of_snapshot=fine_hi,
+                exclude_kinds=("compaction",),
+            )
+            if changed is None:
+                continue
             affected = changed.select(
                 "conv_id", "role", bucket_end(F.col("ts"), step).alias("__cb")
             ).dropDuplicates()
-            fine_resolved = self.tier(fine)
+            fine_resolved = resolve_latest(
+                self.tiers[fine].read(
+                    self.spark, as_of_snapshot=fine_hi, with_snapshot_id=True
+                )
+            )
             needed = fine_resolved.withColumn(
                 "__cb", bucket_end(F.col("ts"), step)
             ).join(affected, ["conv_id", "role", "__cb"], "left_semi")
@@ -163,13 +215,16 @@ class SnapshotIncrementalRollup:
             n = coarse_rows.count()
             if n:
                 self.tiers[coarse].append(
-                    coarse_rows, properties={**lineage, "rows": n, "from": fine}
+                    coarse_rows,
+                    properties={
+                        "fine_snap_hi": fine_hi,
+                        "from": fine,
+                        "rows": n,
+                    },
                 )
             appended[coarse] = n
-            prev.unpersist()
-            prev = coarse_rows
-            changed = coarse_rows
-        prev.unpersist()
+            coarse_rows.unpersist()
+        self._auto_compact()
         return appended
 
     # -- maintenance -----------------------------------------------------
@@ -178,17 +233,45 @@ class SnapshotIncrementalRollup:
         """Rewrite a tier's resolved view as one fresh base snapshot so
         merge-on-read resolution stays O(recent appends). Old snapshots
         remain readable by id (time travel); the compacted snapshot
-        carries the same source_hi so incremental state is preserved."""
+        carries the tier's consumed watermarks (source_hi AND
+        fine_snap_hi) so incremental state is preserved."""
         resolved = self.tier(name)
         if resolved is None:
             return 0
         resolved = resolved.persist()
         n = resolved.count()
-        hi = self._consumed_up_to(name)
-        snap = self.tiers[name].append(
-            resolved, properties={"kind": "compaction", "source_hi": hi, "rows": n}
+        self.tiers[name].append(
+            resolved,
+            properties={
+                "kind": "compaction",
+                "source_hi": self._consumed_up_to(name),
+                "fine_snap_hi": self._fine_consumed(name),
+                "rows": n,
+            },
         )
         # a compaction supersedes all prior snapshots: readers resolve
         # latest-wins, and every key it holds now has the max version
         resolved.unpersist()
         return n
+
+    def _auto_compact(self) -> None:
+        """Compact any tier whose merge-on-read window has grown past
+        ``auto_compact_after`` snapshots since its last compaction.
+        Compaction snapshots are excluded from coarse-tier delta reads,
+        so compacting a fine tier does NOT trigger downstream
+        recomputes."""
+        if self.auto_compact_after is None:
+            return
+        for name, table in self.tiers.items():
+            snaps = table.snapshots()
+            last_compaction = max(
+                (
+                    s.snapshot_id
+                    for s in snaps
+                    if s.properties.get("kind") == "compaction"
+                ),
+                default=0,
+            )
+            pending = sum(1 for s in snaps if s.snapshot_id > last_compaction)
+            if pending > self.auto_compact_after:
+                self.compact(name)

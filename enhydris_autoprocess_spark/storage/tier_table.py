@@ -124,15 +124,35 @@ class TierTable:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(data_dir)
-        # count from the files we just wrote (no recompute of df's lineage)
+        # One stats pass over the files just written (footer-stats-only
+        # for min/max): row count for the manifest plus the snapshot's
+        # ts range, which read(min_ts_us=...) uses to skip whole
+        # snapshot directories (Iceberg manifest file pruning). A
+        # count-only re-read cost the same scan and carried no pruning
+        # metadata.
         spark = df.sparkSession
-        row_count = spark.read.parquet(data_dir).count()
+        written = spark.read.parquet(data_dir)
+        stats_props: dict = {}
+        if (
+            self.partition_days_col is not None
+            and self.partition_days_col in written.columns
+        ):
+            ts = F.unix_micros(
+                F.col(self.partition_days_col).cast("timestamp")
+            )
+            row_count, ts_min, ts_max = written.agg(
+                F.count(F.lit(1)), F.min(ts), F.max(ts)
+            ).first()
+            if ts_min is not None:
+                stats_props = {"min_ts_us": int(ts_min), "max_ts_us": int(ts_max)}
+        else:
+            row_count = written.count()
         snap = Snapshot(
             sid,
             snaps[-1].snapshot_id if snaps else None,
             data_dir,
             row_count,
-            {"committed_at": time.time(), **(properties or {})},
+            {"committed_at": time.time(), **stats_props, **(properties or {})},
         )
         tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -149,14 +169,17 @@ class TierTable:
         min_ts_us: int | None = None,
         after_snapshot: int | None = None,
         with_snapshot_id: bool = False,
+        exclude_kinds: tuple[str, ...] = (),
     ) -> DataFrame | None:
         """Read the table at (up to) a snapshot; None if empty.
 
-        ``min_ts_us``: day-granular partition pruning for incremental
-        consumers — directories for days strictly before the HWM's day
-        are never listed into the scan (``__day >= date(hwm)`` keeps
-        same-day rows; the caller's exact ``ts > hwm`` filter does the
-        rest).
+        ``min_ts_us``: two-level pruning for incremental consumers —
+        whole snapshot DIRECTORIES whose manifest ``max_ts_us`` is below
+        the bound are never opened (Iceberg manifest file pruning), and
+        within surviving snapshots, day directories strictly before the
+        bound's day are never listed into the scan (``__day >=
+        date(hwm)`` keeps same-day rows; the caller's exact ``ts > hwm``
+        filter does the rest).
 
         ``after_snapshot``: snapshot-incremental read — only data
         committed by snapshots STRICTLY AFTER the given id (Iceberg's
@@ -166,12 +189,24 @@ class TierTable:
         ``with_snapshot_id``: attach ``__snap`` (the committing
         snapshot's id) to every row — the version column merge-on-read
         readers resolve on.
+
+        ``exclude_kinds``: skip snapshots whose ``properties["kind"]``
+        matches — delta consumers pass ("compaction",) since a
+        compaction rewrites already-consumed rows, not new data.
         """
         dirs: list[tuple[int, str]] = []
         for s in self.snapshots():
             if as_of_snapshot is not None and s.snapshot_id > as_of_snapshot:
                 break
             if after_snapshot is not None and s.snapshot_id <= after_snapshot:
+                continue
+            if exclude_kinds and s.properties.get("kind") in exclude_kinds:
+                continue
+            if (
+                min_ts_us is not None
+                and "max_ts_us" in s.properties
+                and int(s.properties["max_ts_us"]) < min_ts_us
+            ):
                 continue
             dirs.append((s.snapshot_id, s.data_dir))
         if not dirs:

@@ -85,3 +85,63 @@ def test_compaction_preserves_view_and_state(spark, transcripts, tmp_path):
     assert after == before
     # incremental state survives compaction
     assert roll.run() == {"1min": 0, "1H": 0, "1D": 0}
+
+
+def test_crash_between_tier_appends_recovers(spark, transcripts, tmp_path):
+    """Per-tier consumed watermarks (ADVICE r01): a crash after the
+    1min append but before the 1H/1D appends must NOT strand those
+    coarse buckets — the next run finds the new 1min snapshot above the
+    coarse tiers' own watermarks and catches them up."""
+    import pytest as _pytest
+
+    from enhydris_autoprocess_spark.storage import TierTable
+
+    root = str(tmp_path / "roll4")
+    roll = SnapshotIncrementalRollup(spark, root)
+    b = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2))
+    roll.ingest(transcripts.where(b == 0))
+    roll.run()
+
+    # second batch: crash right after the 1min tier append
+    roll.ingest(transcripts.where(b == 1))
+    orig_append = TierTable.append
+
+    def crashing_append(self, df, properties=None):
+        if "tier_1H" in self.root:
+            raise RuntimeError("simulated crash before 1H append")
+        return orig_append(self, df, properties)
+
+    TierTable.append = crashing_append
+    try:
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            roll.run()
+    finally:
+        TierTable.append = orig_append
+
+    # recovery: fresh handle (state is only in the manifests), plain run
+    recovered = SnapshotIncrementalRollup(spark, root)
+    caught_up = recovered.run()
+    assert caught_up["1min"] == 0  # already merged before the crash
+    assert caught_up["1H"] > 0 and caught_up["1D"] > 0
+
+    direct = build_tiers(transcripts)
+    for name in ("1min", "1H", "1D"):
+        assert _canon(recovered.tier(name)) == _canon(direct[name]), name
+
+
+def test_auto_compaction_bounds_snapshots(spark, transcripts, tmp_path):
+    roll = SnapshotIncrementalRollup(
+        spark, str(tmp_path / "roll5"), auto_compact_after=2
+    )
+    _ingest_shuffled(spark, roll, transcripts, n_batches=4)
+    snaps = roll.tiers["1min"].snapshots()
+    assert any(s.properties.get("kind") == "compaction" for s in snaps)
+    # pending (non-compacted) snapshots stay bounded
+    last_c = max(
+        s.snapshot_id for s in snaps if s.properties.get("kind") == "compaction"
+    )
+    assert sum(1 for s in snaps if s.snapshot_id > last_c) <= 2
+    # and the resolved view still equals the direct computation
+    direct = build_tiers(transcripts)
+    for name in ("1min", "1H", "1D"):
+        assert _canon(roll.tier(name)) == _canon(direct[name]), name

@@ -231,6 +231,18 @@ def test_day_partitioned_tier_and_pruned_read(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "__day" in plan  # pruning happens on the partition column
 
+    # manifest-level pruning: append a second snapshot entirely in the
+    # future; a read above the FIRST snapshot's max_ts never opens its
+    # directory at all (whole-snapshot skip, not just day dirs)
+    rows2 = [("a", dt.datetime(2025, 2, 1, 10, 0), 9.0)]
+    t.append(spark.createDataFrame(rows2, "key string, ts timestamp, value double"))
+    assert "max_ts_us" in t.snapshots()[0].properties
+    hwm2 = int(dt.datetime(2025, 1, 10).timestamp() * 1_000_000)
+    pruned2 = t.read(spark, min_ts_us=hwm2)
+    assert {r.value for r in pruned2.collect()} == {9.0}
+    plan2 = pruned2._jdf.queryExecution().executedPlan().toString()
+    assert snap.data_dir not in plan2  # snapshot dir skipped via manifest
+
 
 def test_pipeline_tiers_are_day_partitioned(spark, transcripts, tmp_path):
     import glob
