@@ -254,3 +254,57 @@ def test_pipeline_tiers_are_day_partitioned(spark, transcripts, tmp_path):
     assert glob.glob(f"{snap.data_dir}/__day=*"), "rollup tier not day-partitioned"
     # and the read-back schema is clean
     assert "__day" not in p.table("rollup_1min").read(spark).columns
+
+
+def test_gorilla_fast_encoder_parity_and_fuzz():
+    """encode_chunk_fast (vectorized, explicit-window form) and the
+    scalar reference encoder must both round-trip bit-exactly through
+    the one decoder, across random series, special float bit patterns
+    (NaN/inf/-0/denormal), and the pathological-dod fallback."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.storage.gorilla import (
+        decode_chunk,
+        encode_chunk,
+        encode_chunk_fast,
+        encode_chunks_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    specials = np.array(
+        [0.0, -0.0, np.inf, -np.inf, np.nan, 1e-300, -1e300, 5e-324]
+    )
+    for i in range(40):
+        m = rng.randint(1, 400)
+        ts = np.sort(rng.randint(0, 1 << 45, size=m)).astype(np.int64)
+        v = np.where(
+            rng.rand(m) < 0.2, np.nan, rng.randn(m) * 10.0 ** rng.randint(-3, 6)
+        )
+        sp = rng.rand(m) < 0.15
+        v[sp] = rng.choice(specials, size=int(sp.sum()))
+        for enc in (encode_chunk, encode_chunk_fast):
+            t2, v2 = decode_chunk(enc(ts, v))
+            assert np.array_equal(t2, ts), (i, enc.__name__)
+            assert np.array_equal(
+                v2.view(np.uint64), v.view(np.uint64)
+            ), (i, enc.__name__)
+
+    # batch encoder: blob-identical to per-chunk fast encoding, and the
+    # scalar fallback kicks in for chunks with |dod| >= 2^60
+    n = 10000
+    ts = np.cumsum(
+        rng.choice([60_000_000, 61_000_000, 3_600_000_000], size=n)
+    ).astype(np.int64)
+    ts[7000] += 1 << 61
+    ts = np.sort(ts)
+    v = np.round(np.cumsum(rng.randn(n)), 3)
+    off = 0
+    for start, cnt, blob in encode_chunks_batch(ts, v, 4096):
+        assert start == int(ts[off])
+        t2, v2 = decode_chunk(blob)
+        assert np.array_equal(t2, ts[off : off + cnt])
+        assert np.array_equal(
+            v2.view(np.uint64), v[off : off + cnt].view(np.uint64)
+        )
+        off += cnt
+    assert off == n
