@@ -1,23 +1,28 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (image/audio libraries are
-not available in this container — task brief): ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (seeded from the bytes) produces stable
-features so the Spark-side plumbing — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested end-to-end.
+Two dependency-free REAL decoders are built in (numpy only):
+
+- PPM (P6 binary, maxval<=255) -> (h, w, 3) uint8 pixels;
+- WAV (RIFF PCM 8/16/32-bit) -> mono float32 samples + sample rate.
+
+Formats that genuinely need codec libraries (PNG/JPEG, MP3/AAC, any
+video) stay STUBBED behind NotImplementedError unless ``fake=True``,
+in which case a deterministic fake decoder (seeded from the bytes)
+produces stable features so the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested
+end-to-end regardless of available codecs.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -37,8 +42,10 @@ FEATURE_SCHEMA = (
     "feature array<float>, frames_sampled int"
 )
 
+FEATURE_DIM = 8
 
-def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: features derived
     from a cryptographic digest of the payload."""
     digest = hashlib.sha256(payload).digest()
@@ -46,12 +53,141 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return (raw.astype(np.float64) / 2**32).astype(np.float32)
 
 
+# --- real decoders (numpy-only) ----------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (height, width, 3) uint8. Handles arbitrary
+    whitespace and '#' comments in the header; maxval must be <= 255
+    (the 16-bit variant is rare and out of scope)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 ints, tokens separated by whitespace/comments
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixel data
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = width * height * 3
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return pixels.reshape(height, width, 3)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF WAV (PCM 8/16/32-bit int) -> (sample_rate, mono float32 in
+    [-1, 1]). Multi-channel input is averaged to mono."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM wav supported (format {audio_format})")
+    if bits == 8:  # 8-bit PCM is unsigned
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return rate, samples
+
+
+def image_features(pixels: np.ndarray) -> np.ndarray:
+    """8-dim summary features of an (h, w, 3) uint8 image: dimensions,
+    per-channel means, grayscale std and extrema range."""
+    h, w = pixels.shape[:2]
+    p = pixels.astype(np.float32)
+    gray = p.mean(axis=2)
+    return np.array(
+        [
+            h,
+            w,
+            p[..., 0].mean(),
+            p[..., 1].mean(),
+            p[..., 2].mean(),
+            gray.std(),
+            gray.min(),
+            gray.max(),
+        ],
+        dtype=np.float32,
+    )
+
+
+def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """8-dim summary features of mono audio: duration, rate, moments,
+    RMS energy, zero-crossing rate, peak."""
+    if len(samples) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    zc = np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8))))
+    return np.array(
+        [
+            len(samples) / rate,
+            rate,
+            samples.mean(),
+            samples.std(),
+            np.sqrt(np.mean(samples**2)),
+            zc,
+            samples.min(),
+            samples.max(),
+        ],
+        dtype=np.float32,
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Image payload -> feature vector. Real path decodes binary PPM;
+    other image formats need PIL/cv2 (not in this container)."""
     if fake:
         return _fake_decode(payload)
+    if payload[:2] == b"P6":
+        return image_features(decode_ppm(payload))
     raise NotImplementedError(
-        "real image decode requires PIL/cv2 (not installed in this "
-        "container); pass fake=True for the deterministic stub"
+        "real decode of non-PPM images requires PIL/cv2 (not installed "
+        "in this container); pass fake=True for the deterministic stub"
+    )
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Audio payload -> feature vector. Real path decodes RIFF PCM WAV;
+    compressed formats need codec libraries (not in this container)."""
+    if fake:
+        return _fake_decode(payload)
+    if payload[:4] == b"RIFF":
+        return audio_features(*decode_wav(payload))
+    raise NotImplementedError(
+        "real decode of non-WAV audio requires codec libraries (not "
+        "installed in this container); pass fake=True for the stub"
     )
 
 
@@ -65,24 +201,31 @@ def extract_features(
 
     Arrow batch shape: payloads stay bytes end-to-end (no base64 churn);
     output is a narrow feature frame. Partitioning: inherits the scan;
-    repartition upstream by size if payloads are skewed.
+    repartition upstream by size if payloads are skewed. Iteration is
+    a column zip — per-payload work is inherently per-row, but
+    ``iterrows`` added ~10x bookkeeping per row on top of it.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
-            for _, row in b.iterrows():
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                feat = decode_image(payload, fake=fake)
+            for media_id, kind, duration_ms, payload in zip(
+                b["media_id"], b["kind"], b["duration_ms"], b["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                if kind == "audio":
+                    feat = decode_audio(payload, fake=fake)
+                else:  # image | video (video real-decode is lib-blocked)
+                    feat = decode_image(payload, fake=fake)
                 frames = (
-                    max(1, int(row["duration_ms"] or 0) // (frame_stride * 1000))
-                    if row["kind"] == "video"
+                    max(1, int(duration_ms or 0) // (frame_stride * 1000))
+                    if kind == "video"
                     else 1
                 )
                 out.append(
                     (
-                        row["media_id"],
-                        row["kind"],
+                        media_id,
+                        kind,
                         len(payload),
                         hashlib.sha256(payload).hexdigest(),
                         feat.tolist(),
@@ -104,23 +247,59 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def make_ppm(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 -> binary PPM (for tests/fixtures)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def make_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Encode mono float32 [-1,1] -> 16-bit PCM WAV (for tests)."""
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(pcm),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,
+        1,
+        rate,
+        rate * 2,
+        2,
+        16,
+        b"data",
+        len(pcm),
+    )
+    return hdr + pcm
+
+
 def fake_media_frame(spark, n: int = 32, seed: int = 5) -> DataFrame:
-    """Deterministic synthetic media table for tests."""
+    """Deterministic synthetic media table for tests: images are REAL
+    tiny PPMs and audio is REAL PCM WAV (decodable with fake=False);
+    video payloads are random bytes (real video decode is lib-blocked)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(64 + int(rng.randint(0, 192)))
+        if kind == "image":
+            px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            payload = make_ppm(px)
+        elif kind == "audio":
+            t = np.arange(800, dtype=np.float32) / 8000.0
+            payload = make_wav(8000, np.sin(2 * np.pi * (100 + 50 * i) * t))
+        else:
+            payload = rng.bytes(64 + int(rng.randint(0, 192)))
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[
-                    kind
-                ],
-                64 if kind == "image" else None,
-                64 if kind == "image" else None,
+                {"image": "image/x-portable-pixmap", "audio": "audio/wav",
+                 "video": "video/mp4"}[kind],
+                8 if kind == "image" else None,
+                8 if kind == "image" else None,
                 int(rng.randint(1000, 60000)) if kind != "image" else None,
                 bytearray(payload),
             )

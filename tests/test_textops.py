@@ -145,6 +145,61 @@ def test_multimodal_real_decode_raises(spark):
         decode_image(b"xx", fake=False)
 
 
+def test_multimodal_real_ppm_wav_decode(spark):
+    """Real (dependency-free) decoders: extract_features(fake=False)
+    over REAL PPM images and PCM WAVs, pinned by golden checksums."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.textops.multimodal import (
+        audio_features,
+        decode_ppm,
+        decode_wav,
+        image_features,
+        make_ppm,
+        make_wav,
+    )
+
+    # golden: 2x2 PPM with known pixels (incl. a header comment)
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]],
+        dtype=np.uint8,
+    )
+    blob = b"P6\n# comment\n2 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(blob), px)
+    feat = image_features(px)
+    assert feat[:2].tolist() == [2.0, 2.0]
+    assert feat[2] == pytest.approx((255 + 10) / 4)  # mean R
+    # round-trip through the encoder helper
+    assert np.array_equal(decode_ppm(make_ppm(px)), px)
+
+    # golden: WAV round-trip of a known ramp
+    ramp = np.linspace(-0.5, 0.5, 100).astype(np.float32)
+    rate, back = decode_wav(make_wav(8000, ramp))
+    assert rate == 8000
+    assert np.allclose(back, ramp, atol=1 / 32768)
+    af = audio_features(rate, back)
+    assert af[0] == pytest.approx(100 / 8000)
+    assert af[1] == 8000.0
+
+    # end-to-end through Spark with fake=False on decodable kinds
+    media = fake_media_frame(spark, n=12).where("kind != 'video'")
+    feats = extract_features(media, fake=False).collect()
+    assert len(feats) == 8
+    by_kind = {}
+    for r in feats:
+        by_kind.setdefault(r.kind, []).append(r)
+    assert {k for k in by_kind} == {"image", "audio"}
+    assert all(len(r.feature) == 8 for r in feats)
+    # image features carry the real 8x8 dimensions
+    assert all(r.feature[0] == 8.0 and r.feature[1] == 8.0 for r in by_kind["image"])
+    # audio features carry the real sample rate
+    assert all(r.feature[1] == 8000.0 for r in by_kind["audio"])
+    # deterministic across reruns (golden checksum)
+    again = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert all(again[r.media_id].sha256 == r.sha256 for r in feats)
+    assert all(again[r.media_id].feature == r.feature for r in feats)
+
+
 def test_embedding_near_dup_lsh_recall(spark):
     """Planted near-duplicate embeddings: the LSH path must find every
     planted pair the exact path finds (same scorer, candidate recall
