@@ -25,12 +25,30 @@ from .timeutil import (
 
 @dataclass(frozen=True)
 class RangeCheckConfig:
-    """Bounds for the hard/soft range check (models.py:133-148)."""
+    """Bounds for the hard/soft range check (models.py:133-148).
+
+    Validation mirrors the reference's admin form
+    (admin.py:104-119: hard bounds are mandatory in pairs — structural
+    here, both fields are required floats) and its processing reality:
+    ``_find_out_of_bounds_values`` calls ``Series.between(low, high)``,
+    which breaks on a one-sided (None) soft bound, so soft bounds must
+    come in pairs too.
+    """
 
     lower_bound: float
     upper_bound: float
     soft_lower_bound: float | None = None
     soft_upper_bound: float | None = None
+
+    def __post_init__(self):
+        if (self.soft_lower_bound is None) != (self.soft_upper_bound is None):
+            raise ValueError(
+                "soft bounds must be specified in pairs (both or neither); "
+                f"got soft_lower_bound={self.soft_lower_bound}, "
+                f"soft_upper_bound={self.soft_upper_bound}"
+            )
+        if self.lower_bound > self.upper_bound:
+            raise ValueError("lower_bound must not exceed upper_bound")
 
     @property
     def has_soft(self) -> bool:

@@ -32,9 +32,10 @@ def _out_of_bounds(value: Column, low: float | None, high: float | None) -> Colu
     Spark NaN comparison semantics (NaN sorts greater than everything)
     would make NaN "out of bounds high"; the explicit isnan guard
     reproduces the reference's ``~pd.isnull(v) & ~v.between(low, high)``
-    (models.py:172-174). A one-sided soft bound treats the absent side
-    as unbounded (admin form pairs bounds, admin.py:104-119; we are
-    slightly more permissive).
+    (models.py:172-174). One-sided soft bounds are rejected at config
+    time (RangeCheckConfig.__post_init__, mirroring the admin form's
+    pairing rule, admin.py:104-119); the -inf/+inf substitution below
+    is therefore only defensive for direct low-level callers.
     """
     present = value.isNotNull() & ~F.isnan(value)
     low_c = F.lit(low if low is not None else float("-inf"))

@@ -177,3 +177,19 @@ def test_regularize_interval_vs_instantaneous(spark):
     )
     assert got2[shared] == 4.0
     assert np.isnan(got2[on_grid])
+
+
+def test_range_check_soft_bound_pairing():
+    """Admin-form rule (reference admin.py:104-119): bounds come in
+    pairs — one-sided soft bounds are a config error, not silently
+    unbounded on the absent side."""
+    from enhydris_autoprocess_spark.config import RangeCheckConfig
+
+    RangeCheckConfig(0.0, 10.0)  # no soft bounds: fine
+    RangeCheckConfig(0.0, 10.0, 2.0, 8.0)  # paired: fine
+    with pytest.raises(ValueError, match="pairs"):
+        RangeCheckConfig(0.0, 10.0, soft_lower_bound=2.0)
+    with pytest.raises(ValueError, match="pairs"):
+        RangeCheckConfig(0.0, 10.0, soft_upper_bound=8.0)
+    with pytest.raises(ValueError, match="exceed"):
+        RangeCheckConfig(10.0, 0.0)
