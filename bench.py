@@ -49,8 +49,72 @@ HEADLINE = [
     "tier_1d_from_1h",
     "dedup_exact",
     "minhash_dedup",
+    "simhash_dedup",
     "cosine_topk",
+    "lsh_cosine_topk",
 ]
+
+
+def _extra_queries():
+    """Bench-only workloads not in the driver contract: the LSH
+    embedding-near-dup SCALE path (correctness pinned by pytest planted
+    -dup recall tests; the driver-gate entry uses the exact method so
+    it can be SQL-oracled)."""
+    from pyspark.sql import functions as F
+
+    from enhydris_autoprocess_spark.textops import embedding_near_dup_pairs
+
+    def near_dup_lsh(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_near_dup_pairs(
+            emb, threshold=0.3, method="lsh", bands=16, bits_per_band=8
+        )
+
+    return {"embedding_near_dup_lsh": near_dup_lsh}
+
+
+def gorilla_codec_bench(n: int = 65536) -> dict:
+    """Pure-numpy codec micro-bench (no Spark): points/s for the scalar
+    reference encoder, the vectorized batch encoder, and decode."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.storage.gorilla import (
+        decode_chunk,
+        encode_chunk,
+        encode_chunks_batch,
+    )
+
+    rng = np.random.RandomState(0)
+    ts = np.cumsum(
+        rng.choice([60_000_000] * 4 + [3_600_000_000], size=n)
+    ).astype(np.int64)
+    vals = np.round(np.cumsum(rng.randn(n)), 3)
+    vals[rng.rand(n) < 0.1] = np.nan
+
+    def best(f, reps=3):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f()
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t_scalar = best(
+        lambda: [
+            encode_chunk(ts[i : i + 4096], vals[i : i + 4096])
+            for i in range(0, n, 4096)
+        ]
+    )
+    t_fast = best(lambda: encode_chunks_batch(ts, vals, 4096))
+    blobs = encode_chunks_batch(ts, vals, 4096)
+    t_dec = best(lambda: [decode_chunk(b) for _, _, b in blobs])
+    return {
+        "points": n,
+        "encode_scalar_pts_per_sec": round(n / t_scalar, 1),
+        "encode_fast_pts_per_sec": round(n / t_fast, 1),
+        "encode_speedup": round(t_scalar / t_fast, 2),
+        "decode_pts_per_sec": round(n / t_dec, 1),
+    }
 
 
 def _build(cpus: int):
@@ -169,10 +233,10 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **_extra_queries()}
     times: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in [*HEADLINE, "embedding_near_dup_lsh"]:
         fn = qs[name]
         best = float("inf")
         # First execution of a plan pays one-time codegen/GC costs that
@@ -194,6 +258,7 @@ def main() -> None:
         "queries": times,
         "sf": SF_DIR,
         "cpus": CPUS,
+        "gorilla_codec": gorilla_codec_bench(),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":

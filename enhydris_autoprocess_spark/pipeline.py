@@ -131,7 +131,17 @@ class Pipeline:
         (columns: hwm_key + ts)."""
         table = self.table(stage)
         out = out_df.persist()
-        rows_out = out.count()
+        # one agg over the persisted frame gives the manifest row count
+        # AND the snapshot's ts pruning range — append() then skips its
+        # post-write stats re-scan entirely.
+        ts_stat = (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            if "ts" in out.columns
+            else F.lit(None).cast("long")
+        )
+        rows_out, ts_min, ts_max = out.agg(
+            F.count(F.lit(1)), F.min(ts_stat), F.max(ts_stat)
+        ).first()
         snap = None
         if rows_out:
             elapsed = time.time() - t0
@@ -143,6 +153,7 @@ class Pipeline:
                     "seconds": round(elapsed, 3),
                     "rows_per_sec": round(rows_out / max(elapsed, 1e-9), 1),
                 },
+                stats={"rows": rows_out, "min_ts_us": ts_min, "max_ts_us": ts_max},
             )
         self.ckpt.advance(
             stage,

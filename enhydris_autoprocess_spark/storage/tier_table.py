@@ -102,13 +102,23 @@ class TierTable:
         snaps = self.snapshots()
         return snaps[-1] if snaps else None
 
-    def append(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        properties: dict | None = None,
+        stats: dict | None = None,
+    ) -> Snapshot:
         """Atomic append; returns the committed snapshot.
 
         ``properties`` carries lineage + metrics (source snapshot ids,
         HWMs, rows/sec) into the manifest, the analog of Iceberg
         snapshot summary properties (north rule: per-partition
         checkpoints with lineage + throughput metrics).
+
+        ``stats``: precomputed ``{"rows": n, "min_ts_us": ...,
+        "max_ts_us": ...}`` (e.g. from an agg over the caller's
+        already-persisted frame) — skips the one post-write stats scan
+        otherwise needed for the manifest row count and pruning range.
         """
         snaps = self.snapshots()
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
@@ -124,29 +134,40 @@ class TierTable:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(data_dir)
-        # One stats pass over the files just written (footer-stats-only
-        # for min/max): row count for the manifest plus the snapshot's
-        # ts range, which read(min_ts_us=...) uses to skip whole
-        # snapshot directories (Iceberg manifest file pruning). A
-        # count-only re-read cost the same scan and carried no pruning
-        # metadata.
-        spark = df.sparkSession
-        written = spark.read.parquet(data_dir)
         stats_props: dict = {}
-        if (
-            self.partition_days_col is not None
-            and self.partition_days_col in written.columns
-        ):
-            ts = F.unix_micros(
-                F.col(self.partition_days_col).cast("timestamp")
-            )
-            row_count, ts_min, ts_max = written.agg(
-                F.count(F.lit(1)), F.min(ts), F.max(ts)
-            ).first()
-            if ts_min is not None:
-                stats_props = {"min_ts_us": int(ts_min), "max_ts_us": int(ts_max)}
+        if stats is not None:
+            row_count = int(stats["rows"])
+            if stats.get("min_ts_us") is not None:
+                stats_props = {
+                    "min_ts_us": int(stats["min_ts_us"]),
+                    "max_ts_us": int(stats["max_ts_us"]),
+                }
         else:
-            row_count = written.count()
+            # One stats pass over the files just written (footer-stats-
+            # only for min/max): row count for the manifest plus the
+            # snapshot's ts range, which read(min_ts_us=...) uses to
+            # skip whole snapshot directories (Iceberg manifest file
+            # pruning). A count-only re-read cost the same scan and
+            # carried no pruning metadata.
+            spark = df.sparkSession
+            written = spark.read.parquet(data_dir)
+            if (
+                self.partition_days_col is not None
+                and self.partition_days_col in written.columns
+            ):
+                ts = F.unix_micros(
+                    F.col(self.partition_days_col).cast("timestamp")
+                )
+                row_count, ts_min, ts_max = written.agg(
+                    F.count(F.lit(1)), F.min(ts), F.max(ts)
+                ).first()
+                if ts_min is not None:
+                    stats_props = {
+                        "min_ts_us": int(ts_min),
+                        "max_ts_us": int(ts_max),
+                    }
+            else:
+                row_count = written.count()
         snap = Snapshot(
             sid,
             snaps[-1].snapshot_id if snaps else None,

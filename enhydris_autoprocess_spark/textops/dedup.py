@@ -285,38 +285,72 @@ def minhash_dedup_pairs(
     return out
 
 
-def _simhash_fp(hashes: Column) -> Column:
-    """64-bit SimHash fingerprint from a shingle-hash array, as one
-    Arrow batch kernel.
+def _simhash_fp_fast(text: Column, shingle_k: int) -> Column:
+    """64-bit SimHash fingerprint straight from text, in ONE Arrow
+    batch kernel (the same shape as ``minhash_signature_fast``).
 
-    Semantics identical to the per-bit majority vote it replaces (bit i
-    of fp set iff > half the shingle hashes have bit i set; empty/null
-    feature sets -> fp 0), but the vote runs as a numpy popcount-style
-    reduction instead of 64 interpreted ``F.aggregate`` lambda passes
-    per document (~64 x n_shingles lambda evals/doc — flagged by the
-    round-1 verdict as the simhash scale-killer). Per-row numpy work is
-    a (n_shingles x 64) uint8 matrix — small, so the batch loop stays
-    allocation-friendly (large fresh allocations are slow on this
-    host).
+    Only the whitespace split stays JVM-side; word hashing is one
+    vectorized ``pd.util.hash_array`` over the batch's flattened words,
+    shingle hashes are a rolling polynomial combine of k consecutive
+    word hashes widened back to 64 bits by a SplitMix64 finalizer (the
+    per-bit vote needs well-mixed HIGH bits too), DISTINCT shingles via
+    np.unique (simhash is a set vote — a repeated shingle must not
+    vote twice), and the per-bit majority vote is a numpy popcount-
+    style reduction. Replaces interpreted per-shingle HOF lambdas
+    (slice/array_join/xxhash64, ~2µs/element) AND the 64 interpreted
+    ``F.aggregate`` vote passes the round-1 verdict flagged. Per-doc
+    numpy work is a (n_shingles x 64) uint8 matrix — small per row, so
+    the batch loop stays allocation-friendly on this host.
     """
+    k = shingle_k
     shifts = np.arange(64, dtype=np.uint64)
+    C = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier for the rolling poly
+
+    def _mix(z: np.ndarray) -> np.ndarray:
+        # SplitMix64 finalizer: full-width avalanche over uint64
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
     @pandas_udf("long")
-    def fp(col: pd.Series) -> pd.Series:
-        out = np.zeros(len(col), dtype=np.uint64)
-        for i, h in enumerate(col):
-            if h is None or len(h) == 0:
-                continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                np.uint8
-            )
-            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(hv)
-            fpbits = (votes > 0).astype(np.uint64)
-            out[i] = np.bitwise_or.reduce(fpbits << shifts)
+    def fp(wcol: pd.Series) -> pd.Series:
+        out = np.zeros(len(wcol), dtype=np.uint64)
+        lens = np.array([len(w) if w is not None else 0 for w in wcol])
+        if lens.sum() == 0:
+            return pd.Series(out.view(np.int64))
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in wcol if w is not None and len(w)]
+        )
+        with np.errstate(over="ignore"):
+            wh = pd.util.hash_array(flat.astype("U")).astype(np.uint64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                n = e - s
+                if n == 0:
+                    continue
+                h = wh[s:e]
+                if n <= k:
+                    sh = np.zeros(1, dtype=np.uint64)
+                    for j in range(n):
+                        sh = sh * C + h[j]
+                else:
+                    m = n - k + 1
+                    sh = np.zeros(m, dtype=np.uint64)
+                    for j in range(k):
+                        sh = sh * C + h[j : j + m]
+                sh = np.unique(_mix(sh))  # set semantics for the vote
+                bits = ((sh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.uint8
+                )
+                votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(sh)
+                out[i] = np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << shifts
+                )
         return pd.Series(out.view(np.int64))
 
-    return fp(hashes)
+    words = F.split(_normalize(text), " ")
+    return fp(words)
 
 
 def simhash_dedup_pairs(
@@ -342,14 +376,9 @@ def simhash_dedup_pairs(
     block at n docs); keep max_hamming <= 3 for web-scale corpora.
     Candidates verify by popcount. Output: id_a < id_b, hamming.
     """
-    features = (
-        _shingles(F.col(text_col), shingle_k)
-        if shingle_k > 1
-        else F.array_distinct(F.split(_normalize(F.col(text_col)), " "))
-    )
-    hashes = F.transform(features, lambda s: F.xxhash64(s))
     base = df.select(
-        F.col(id_col).alias("id"), _simhash_fp(hashes).alias("fp")
+        F.col(id_col).alias("id"),
+        _simhash_fp_fast(F.col(text_col), shingle_k).alias("fp"),
     )
 
     n_blocks = min(max_hamming + 1, 16)
