@@ -2,10 +2,14 @@
 
 ``queries()`` exposes the engine's operators (SURVEY.md §2 + the
 training-data ops) over the driver's parquet tables; ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one.
-Operators whose kernels are not SQL-expressible (MinHash/SimHash LSH,
-sign-LSH ANN) ship without an oracle (rows-only check) but are pinned
-by pytest with planted duplicates instead (tests/test_textops.py).
+gives the DuckDB-equivalent SQL for every SQL-expressible one. The LSH
+/IVF internals are not SQL-expressible, but their OUTPUTS are oracle-
+checked through invariants (candidates exact-verified, or recall~1 /
+exhaustive-probe gate parameters where the approximate result provably
+equals the exact one — see the section comments). The single rows-only
+entry left is ``simhash_dedup`` (its planted recall is < 1 by
+construction); it is pinned by pytest planted-dup tests instead
+(tests/test_textops.py).
 
 Conventions shared by both sides so the value-hash comparison is
 byte-stable:
@@ -45,6 +49,7 @@ from enhydris_autoprocess_spark.operators.aggregate import (
 from enhydris_autoprocess_spark.schema import nan_to_null
 from enhydris_autoprocess_spark.textops import (
     brute_force_cosine_topk,
+    ivf_cosine_topk,
     document_fingerprint,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -349,6 +354,22 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k at the exhaustive-probe gate configuration
+    (n_probe == n_cells => candidate set is the whole corpus, so the
+    result equals brute force exactly; partial-probe recall is pinned
+    by pytest). Oracle: brute-force top-k SQL."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivf_cosine_topk(emb, q, k=5, n_cells=8, n_probe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN top-k at recall~1 gate parameters (64 bands x
     2 bits). Oracle: brute-force top-k — identical scorer + rounding +
@@ -427,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
     }
 
 
@@ -680,6 +702,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.s, b.s)) * 1.0
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "ivf_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (SELECT query_id, neighbor_id,
+                    floor(list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                          * 1000000 + 0.5) / 1000000 AS score
+                  FROM q, c WHERE query_id <> neighbor_id),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
         """,
         "lsh_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

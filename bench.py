@@ -70,7 +70,17 @@ def _extra_queries():
             emb, threshold=0.3, method="lsh", bands=16, bits_per_band=8
         )
 
-    return {"embedding_near_dup_lsh": near_dup_lsh}
+    def ivf_partial(spark, sf_dir):
+        from enhydris_autoprocess_spark.textops import ivf_cosine_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 5)
+        return ivf_cosine_topk(emb, q, k=5, n_cells=32, n_probe=4)
+
+    return {
+        "embedding_near_dup_lsh": near_dup_lsh,
+        "ivf_cosine_topk_probe4": ivf_partial,
+    }
 
 
 def gorilla_codec_bench(n: int = 65536) -> dict:
@@ -236,7 +246,7 @@ def main() -> None:
     qs = {**entrymod.queries(), **_extra_queries()}
     times: dict[str, float] = {}
     total = 0.0
-    for name in [*HEADLINE, "embedding_near_dup_lsh"]:
+    for name in [*HEADLINE, "embedding_near_dup_lsh", "ivf_cosine_topk_probe4"]:
         fn = qs[name]
         best = float("inf")
         # First execution of a plan pays one-time codegen/GC costs that

@@ -7,6 +7,7 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_cosine_topk,
     embedding_near_dup_pairs,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from .quality import (  # noqa: F401

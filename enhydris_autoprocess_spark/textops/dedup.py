@@ -156,46 +156,60 @@ def minhash_signature_fast(
 
     @pandas_udf("array<long>")
     def mh(wcol: pd.Series) -> pd.Series:
-        lens = np.array([len(w) if w is not None else 0 for w in wcol])
+        ndocs = len(wcol)
+        lens = np.array(
+            [len(w) if w is not None else 0 for w in wcol], dtype=np.int64
+        )
         if lens.sum() == 0:
-            return pd.Series([empty] * len(wcol))
+            return pd.Series([empty] * ndocs)
         flat = np.concatenate(
             [np.asarray(w, dtype=object) for w in wcol if w is not None and len(w)]
         )
         wh = (
             pd.util.hash_array(flat.astype("U")).view(np.int64) % _MERSENNE
         ).astype(np.int64)
-        # rolling polynomial combine: sh[i] = sum_j wh[i+j]*C^(k-1-j) mod p
+        # FLAT rolling polynomial (no per-doc loop), same arithmetic as
+        # the per-doc version so signature values are unchanged:
+        # sh[i] = sum_j wh[i+j]*C^(k-1-j) mod p, truncated at doc ends
+        # for docs shorter than k (their single shingle covers all
+        # their words).
         C = 1_000_003
         ends = np.cumsum(lens)
         starts = ends - lens
-        out = []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n == 0:
-                out.append(empty)
-                continue
-            h = wh[s:e]
-            if n <= k:
-                sh = np.array([_poly(h, C)], dtype=np.int64)
-            else:
-                m = n - k + 1
-                sh = np.zeros(m, dtype=np.int64)
-                for j in range(k):
-                    sh = (sh * C + h[j : j + m]) % _MERSENNE
-            sig = ((sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
-            out.append(sig)
+        m = np.maximum(lens - k + 1, (lens > 0).astype(np.int64))
+        sh_ends = np.cumsum(m)
+        sh_starts = sh_ends - m
+        total = int(sh_ends[-1])
+        base = np.repeat(starts, m) + np.arange(total) - np.repeat(sh_starts, m)
+        doc_end = np.repeat(ends, m)
+        sh = np.zeros(total, dtype=np.int64)
+        for j in range(k):
+            idx = base + j
+            valid = idx < doc_end
+            contrib = wh[np.minimum(idx, len(wh) - 1)]
+            sh = np.where(valid, (sh * C + contrib) % _MERSENNE, sh)
+        # per-doc min over the (shingles x perms) affine hashes, chunked
+        # so the outer-product stays a few MB per pass
+        sigs = np.zeros((ndocs, num_hashes), dtype=np.int64)
+        with_sh = np.flatnonzero(m > 0)  # doc ids present in sh
+        doc_sh_starts = sh_starts[with_sh]
+        CH = 256
+        for ci in range(0, len(with_sh), CH):
+            cj = min(ci + CH, len(with_sh))
+            lo = int(doc_sh_starts[ci])
+            hi = int(sh_ends[with_sh[cj - 1]])
+            block = (
+                sh[lo:hi, None] * a[None, :] + b[None, :]
+            ) % _MERSENNE
+            sigs[with_sh[ci:cj]] = np.minimum.reduceat(
+                block, doc_sh_starts[ci:cj] - lo, axis=0
+            )
+        out = np.empty(ndocs, dtype=object)
+        out[:] = list(sigs)
         return pd.Series(out)
 
     words = F.split(_normalize(text), " ")
     return mh(words)
-
-
-def _poly(h: np.ndarray, c: int) -> int:
-    acc = 0
-    for v in h.tolist():
-        acc = (acc * c + v) % _MERSENNE
-    return acc
 
 
 class _SplitMix:
@@ -314,8 +328,11 @@ def _simhash_fp_fast(text: Column, shingle_k: int) -> Column:
 
     @pandas_udf("long")
     def fp(wcol: pd.Series) -> pd.Series:
-        out = np.zeros(len(wcol), dtype=np.uint64)
-        lens = np.array([len(w) if w is not None else 0 for w in wcol])
+        ndocs = len(wcol)
+        out = np.zeros(ndocs, dtype=np.uint64)
+        lens = np.array(
+            [len(w) if w is not None else 0 for w in wcol], dtype=np.int64
+        )
         if lens.sum() == 0:
             return pd.Series(out.view(np.int64))
         flat = np.concatenate(
@@ -325,27 +342,56 @@ def _simhash_fp_fast(text: Column, shingle_k: int) -> Column:
             wh = pd.util.hash_array(flat.astype("U")).astype(np.uint64)
             ends = np.cumsum(lens)
             starts = ends - lens
-            for i, (s, e) in enumerate(zip(starts, ends)):
-                n = e - s
-                if n == 0:
-                    continue
-                h = wh[s:e]
-                if n <= k:
-                    sh = np.zeros(1, dtype=np.uint64)
-                    for j in range(n):
-                        sh = sh * C + h[j]
-                else:
-                    m = n - k + 1
-                    sh = np.zeros(m, dtype=np.uint64)
-                    for j in range(k):
-                        sh = sh * C + h[j : j + m]
-                sh = np.unique(_mix(sh))  # set semantics for the vote
-                bits = ((sh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                    np.uint8
+            # FLAT shingle construction, no per-doc loop: shingle s of
+            # doc d starts at word starts[d]+s; docs shorter than k get
+            # one truncated shingle (mask ends the poly at the doc end,
+            # matching the scalar kernel's n<=k branch).
+            m = np.maximum(lens - k + 1, (lens > 0).astype(np.int64))
+            sh_ends = np.cumsum(m)
+            sh_starts = sh_ends - m
+            total = int(sh_ends[-1])
+            doc_of = np.repeat(np.arange(ndocs), m)
+            base = (
+                np.repeat(starts, m)
+                + np.arange(total)
+                - np.repeat(sh_starts, m)
+            )
+            doc_end = np.repeat(ends, m)
+            sh = np.zeros(total, dtype=np.uint64)
+            for j in range(k):
+                idx = base + j
+                valid = idx < doc_end
+                contrib = wh[np.minimum(idx, len(wh) - 1)]
+                sh = np.where(valid, sh * C + contrib, sh)
+            sh = _mix(sh)
+            # per-doc DISTINCT shingles (set vote semantics): one
+            # lexsort + neighbor mask instead of np.unique per doc
+            order = np.lexsort((sh, doc_of))
+            sh_s, d_s = sh[order], doc_of[order]
+            keep = np.r_[True, (sh_s[1:] != sh_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            sh_u, d_u = sh_s[keep], d_s[keep]
+            seg_starts = np.r_[0, np.flatnonzero(d_u[1:] != d_u[:-1]) + 1]
+            seg_docs = d_u[seg_starts]
+            seg_lens = np.diff(np.r_[seg_starts, len(d_u)])
+            # per-bit majority votes: unpacked bit matrix + one reduceat
+            # per ~256-doc chunk (keeps the fresh bit matrix small; big
+            # first-touch allocations are slow on this host)
+            CH = 256
+            for a in range(0, len(seg_starts), CH):
+                b = min(a + CH, len(seg_starts))
+                lo = int(seg_starts[a])
+                hi = int(seg_starts[b]) if b < len(seg_starts) else len(d_u)
+                bits = (
+                    np.unpackbits(sh_u[lo:hi].astype(">u8").view(np.uint8))
+                    .reshape(-1, 64)
+                    .astype(np.int32)
                 )
-                votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(sh)
-                out[i] = np.bitwise_or.reduce(
-                    (votes > 0).astype(np.uint64) << shifts
+                sums = np.add.reduceat(bits, seg_starts[a:b] - lo, axis=0)
+                votes = 2 * sums - seg_lens[a:b, None]
+                fpbits = (votes > 0).astype(np.uint64)
+                # unpackbits is MSB-first: matrix column j is bit 63-j
+                out[seg_docs[a:b]] = np.bitwise_or.reduce(
+                    fpbits << shifts[None, ::-1], axis=1
                 )
         return pd.Series(out.view(np.int64))
 
@@ -376,10 +422,12 @@ def simhash_dedup_pairs(
     block at n docs); keep max_hamming <= 3 for web-scale corpora.
     Candidates verify by popcount. Output: id_a < id_b, hamming.
     """
+    # persist: the banded self-join references this frame on both
+    # sides, and without the cache the fingerprint kernel runs twice
     base = df.select(
         F.col(id_col).alias("id"),
         _simhash_fp_fast(F.col(text_col), shingle_k).alias("fp"),
-    )
+    ).persist()
 
     n_blocks = min(max_hamming + 1, 16)
     base_w, extra = divmod(64, n_blocks)
@@ -432,7 +480,22 @@ def ngram_jaccard_pairs(
     for small inputs — quadratic; pass LSH candidates at scale).
 
     Output: id_a, id_b, jaccard (double).
+
+    With ``candidates``, only documents that actually appear in a
+    candidate pair get shingled (semi-join first): shingling is
+    interpreted higher-order functions (~2µs/element), so computing it
+    for the whole corpus to verify a handful of pairs dominated the
+    minhash-verify path (measured ~5s of a 6s query at sf0.1).
     """
+    if candidates is not None:
+        wanted = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .dropDuplicates()
+        )
+        # plain semi-join: AQE broadcasts it when the id set is small,
+        # shuffles when a huge candidate set would blow the broadcast
+        df = df.join(wanted, id_col, "left_semi")
     sh = df.select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), k).alias("sh")
     )

@@ -52,6 +52,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_fast(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine: one numpy einsum per batch instead of
+    ~3x dim interpreted lambda evals per ROW (the HOF scorer measured
+    ~11s scoring 100k+ LSH near-dup candidates at sf0.1). Float-sum
+    order differs from the sequential HOF/SQL reduction by at most the
+    usual last-ulp pairwise-vs-sequential wobble; all driver oracles
+    round through floor(x*1e6+0.5)/1e6 and are verified to agree at the
+    gate scale factors.
+    """
+
+    @pandas_udf("double")
+    def cos(ca: pd.Series, cb: pd.Series) -> pd.Series:
+        va = ca.to_numpy(dtype=object)
+        vb = cb.to_numpy(dtype=object)
+        out = np.full(len(va), np.nan)
+        ok = np.array(
+            [
+                x is not None and y is not None and len(x) == len(y)
+                for x, y in zip(va, vb)
+            ]
+        )
+        if ok.any():
+            A = np.stack([np.asarray(x, np.float64) for x in va[ok]])
+            B = np.stack([np.asarray(y, np.float64) for y in vb[ok]])
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            out[ok] = num / den
+        return pd.Series(out)
+
+    return cos(a, b)
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -76,7 +110,7 @@ def brute_force_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
+            cosine_fast(F.col("qv"), F.col("cv")).alias("score"),
         )
     )
     if round_digits is not None:
@@ -193,7 +227,113 @@ def lsh_cosine_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
+        "query_id", "neighbor_id", cosine_fast(F.col("qv"), F.col("cv")).alias("score")
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("score", _round6(F.col("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    sample_per_cell: int = 64,
+    kmeans_iters: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: spherical k-means cells,
+    query probes its ``n_probe`` nearest centroids, exact re-scoring on
+    the probed cells only.
+
+    The scale shape: centroids train on a bounded driver-side SAMPLE
+    (n_cells * sample_per_cell rows — independent of corpus size), then
+    broadcast; cell assignment is one pandas-UDF matmul per Arrow
+    batch; the candidate join shuffles on cell id, so each query scores
+    ~n_probe/n_cells of the corpus. With ``n_probe == n_cells`` the
+    candidate set is the whole corpus and the result equals brute force
+    exactly (same scorer/rounding/tie-break) — that configuration is
+    the driver-gate oracle; recall at partial probes is pinned by
+    pytest. Returned scores are always exact (only the candidate set is
+    approximate), like ``lsh_cosine_topk``.
+    """
+    n_probe = min(n_probe, n_cells)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+
+    # --- train centroids on a bounded sample (driver numpy) -----------
+    sample_rows = (
+        c.select("cv")
+        .orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+        .limit(n_cells * sample_per_cell)
+        .collect()
+    )
+    X = np.array([r["cv"] for r in sample_rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                cent[j] = v / max(np.linalg.norm(v), 1e-12)
+    cent = np.ascontiguousarray(cent)
+
+    def _cells(top: int):
+        """pandas UDF: vector -> its `top` nearest centroid ids."""
+
+        @pandas_udf("array<int>")
+        def cells(col: pd.Series) -> pd.Series:
+            vals = col.to_numpy(dtype=object)
+            dim = cent.shape[1]
+            rows = [
+                np.asarray(v, dtype=np.float64)
+                if v is not None and len(v) == dim
+                else np.zeros(dim)
+                for v in vals
+            ]
+            if not rows:
+                return pd.Series([], dtype=object)
+            V = np.stack(rows)
+            sims = V @ cent.T
+            order = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+            out = np.empty(len(rows), dtype=object)
+            out[:] = list(order)
+            return pd.Series(out)
+
+        return cells
+
+    c_cells = c.select(
+        "neighbor_id", "cv",
+        F.explode(_cells(1)(F.col("cv"))).alias("cell"),
+    )
+    q_cells = q.select(
+        "query_id", "qv",
+        F.explode(_cells(n_probe)(F.col("qv"))).alias("cell"),
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_fast(F.col("qv"), F.col("cv")).alias("score")
     )
     if round_digits is not None:
         scored = scored.withColumn("score", _round6(F.col("score")))
@@ -267,7 +407,7 @@ def embedding_near_dup_pairs(
         )
     else:
         raise ValueError(f"unknown method: {method!r}")
-    score = cosine(F.col("va"), F.col("vb"))
+    score = cosine_fast(F.col("va"), F.col("vb"))
     if round_digits is not None:
         score = _round6(score)
     return (

@@ -231,3 +231,49 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert exact == {(i, 100 + i) for i in range(10)}
     assert lsh <= exact  # no false positives (exact verify)
     assert len(lsh) >= 9  # >=90% recall at these band settings
+
+
+def test_ivf_cosine_topk_exact_at_full_probe_and_recall(spark):
+    """IVF ANN: with n_probe == n_cells the candidate set is the whole
+    corpus, so the result must equal brute force exactly; at partial
+    probes, scores remain exact (subset of brute force) and recall@k
+    stays useful on clustered data."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.textops import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    # clustered corpus: 4 centers, 30 points each
+    centers = rng.randn(4, 64) * 3
+    rows = []
+    for i in range(120):
+        v = centers[i % 4] + rng.randn(64) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id < 4")
+
+    bf = brute_force_cosine_topk(emb, q, k=5)
+    bf_rows = {(r.query_id, r.neighbor_id, r.rank, r.score) for r in bf.collect()}
+
+    full = ivf_cosine_topk(emb, q, k=5, n_cells=8, n_probe=8)
+    full_rows = {
+        (r.query_id, r.neighbor_id, r.rank, r.score) for r in full.collect()
+    }
+    assert full_rows == bf_rows  # exhaustive probe == brute force
+
+    part = ivf_cosine_topk(emb, q, k=5, n_cells=8, n_probe=2)
+    part_rows = {(r.query_id, r.neighbor_id) for r in part.collect()}
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    recall = len(part_rows & bf_pairs) / len(bf_pairs)
+    assert recall >= 0.8, recall  # clustered data: home cell holds the ANNs
+    # scores of returned pairs are exact (same scorer): subset check
+    part_scored = {
+        (r.query_id, r.neighbor_id): r.score for r in part.collect()
+    }
+    bf_scored = {(r.query_id, r.neighbor_id): r.score for r in bf.collect()}
+    for pair, score in part_scored.items():
+        if pair in bf_scored:
+            assert score == bf_scored[pair]
