@@ -347,7 +347,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: exact all-pairs Jaccard >= 0.5 (equal iff banding recall
     is 1 at the gate scale — see section comment)."""
     docs = _documents(spark, sf_dir)
-    cand = minhash_dedup_pairs(docs, threshold=0.5)
+    # persist: the verification stage references the candidate frame
+    # twice (semi-join id set + the pair join), and without the cache
+    # the whole LSH DAG would evaluate twice
+    cand = minhash_dedup_pairs(docs, threshold=0.5).persist()
     verified = ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
     return verified.select(
         "id_a", "id_b", round6(F.col("jaccard")).alias("jaccard")

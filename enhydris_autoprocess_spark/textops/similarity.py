@@ -382,13 +382,15 @@ def embedding_near_dup_pairs(
     elif method == "lsh":
         rng = np.random.RandomState(seed)
         planes = rng.randn(bands * bits_per_band, dim)
+        # persist: both sides of the self-join reference this frame;
+        # without the cache the signature UDF evaluates twice
         sig = base.select(
             "id",
             "v",
             _explode_bands(
                 _sign_signature(F.col("v"), planes, bands, bits_per_band)
             ).alias("band", "bucket"),
-        )
+        ).persist()
         a, b = sig.alias("a"), sig.alias("b")
         pairs = (
             a.join(
