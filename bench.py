@@ -36,7 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "30000"))
+# 60k convs ~ 14.3M turns: large enough that steady-state work
+# dominates the per-stage fixed costs on the 4-thread leg (at 30k the
+# same code measured 0.62 efficiency purely from overhead dilution;
+# round-1 saw the same effect and used >=7M turns)
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 
 HEADLINE = [
@@ -284,17 +288,41 @@ def main() -> None:
     # charged the 4N leg for the depleted budget, not the code.
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        lo = _spawn_worker(SCALE_N, BENCH_CONVS)
-        hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS)
-        attempts = 1
-        if (hi["points_per_sec"] / lo["points_per_sec"]) / 4.0 < 0.6:
-            lo2 = _spawn_worker(SCALE_N, BENCH_CONVS)
-            hi2 = _spawn_worker(4 * SCALE_N, BENCH_CONVS)
-            attempts = 2
-            lo = max(lo, lo2, key=lambda r: r["points_per_sec"])
-            hi = max(hi, hi2, key=lambda r: r["points_per_sec"])
-        eff = (hi["points_per_sec"] / lo["points_per_sec"]) / 4.0
-        scaling = (lo, hi, eff, attempts)
+        # This host's sustained throughput swings ~50% between windows
+        # minutes apart (burstable-instance behavior; host_probe makes
+        # it visible in-band). Taking the BEST leg per config across
+        # attempts mixes windows and can even make N beat 4N; instead
+        # the legs alternate (lo,hi,lo,hi) and efficiency comes from
+        # the AVERAGED throughput per config — window luck cancels
+        # symmetrically. A third alternation runs only if the first two
+        # disagree wildly.
+        los = [_spawn_worker(SCALE_N, BENCH_CONVS)]
+        his = [_spawn_worker(4 * SCALE_N, BENCH_CONVS)]
+        los.append(_spawn_worker(SCALE_N, BENCH_CONVS))
+        his.append(_spawn_worker(4 * SCALE_N, BENCH_CONVS))
+
+        def _avg(rs):
+            return sum(r["points_per_sec"] for r in rs) / len(rs)
+
+        def _spread(rs):
+            v = [r["points_per_sec"] for r in rs]
+            return max(v) / min(v)
+
+        if _spread(los) > 1.35 or _spread(his) > 1.35:
+            los.append(_spawn_worker(SCALE_N, BENCH_CONVS))
+            his.append(_spawn_worker(4 * SCALE_N, BENCH_CONVS))
+        eff = (_avg(his) / _avg(los)) / 4.0
+        lo = dict(max(los, key=lambda r: r["points_per_sec"]))
+        hi = dict(max(his, key=lambda r: r["points_per_sec"]))
+        lo["points_per_sec"] = round(_avg(los), 1)
+        hi["points_per_sec"] = round(_avg(his), 1)
+        lo["turns_per_sec"] = round(
+            sum(r["turns_per_sec"] for r in los) / len(los), 1
+        )
+        hi["turns_per_sec"] = round(
+            sum(r["turns_per_sec"] for r in his) / len(his), 1
+        )
+        scaling = (lo, hi, eff, len(los))
 
     spark = _build(CPUS)
     # Warm up codegen + Python workers once so the first measured query

@@ -1,1 +1,2 @@
+from .gap_monitor import streaming_gap_events  # noqa: F401
 from .rollup_stream import streaming_rollup, run_available_now  # noqa: F401

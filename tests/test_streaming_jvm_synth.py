@@ -71,3 +71,79 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         }
 
     assert canon(got) == canon(want)
+
+
+def test_streaming_gap_monitor_stateful(spark, tmp_path):
+    """applyInPandasWithState gap monitor: gap events across micro-batch
+    boundaries must equal the batch lag-diff oracle, including gaps
+    whose two sides arrive in DIFFERENT batches (the stateful part)."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from enhydris_autoprocess_spark.streaming import streaming_gap_events
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    # conv a: turns at 0,1,2, 30, 31 min  -> one 28min gap
+    for m in (0, 1, 2, 30, 31):
+        rows.append(("a", m, t0 + dt.timedelta(minutes=m)))
+    # conv b: turns at 0, 5, 70 min -> one 65min gap (sides split across
+    # batches below)
+    for m in (0, 5, 70):
+        rows.append(("b", m, t0 + dt.timedelta(minutes=m)))
+    # conv c: dense, no gaps
+    for m in range(0, 10):
+        rows.append(("c", m, t0 + dt.timedelta(minutes=m)))
+    df = spark.createDataFrame(
+        [(c, f"t{i}", "user", f"msg {i}", None, ts) for c, i, ts in rows],
+        "conv_id string, turn_id string, role string, text string, tool string, ts timestamp",
+    )
+
+    in_dir = str(tmp_path / "gm_in")
+    out_dir = str(tmp_path / "gm_out")
+    ck_dir = str(tmp_path / "gm_ck")
+    os.makedirs(in_dir)
+    # two event-time-ordered files => two micro-batches with
+    # maxFilesPerTrigger=1; conv b's 65min gap spans the split
+    cut = t0 + dt.timedelta(minutes=20)
+    df.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(in_dir + "/p1")
+    df.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(in_dir + "/p2")
+    # stream source lists files recursively; order by mtime
+    p1 = [f for f in os.listdir(in_dir + "/p1") if f.endswith(".parquet")]
+    p2 = [f for f in os.listdir(in_dir + "/p2") if f.endswith(".parquet")]
+    now = _time.time()
+    os.utime(os.path.join(in_dir, "p1", p1[0]), (now - 60, now - 60))
+    os.utime(os.path.join(in_dir, "p2", p2[0]), (now, now))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    events = streaming_gap_events(stream, gap_seconds=600, watermark="1 minute")
+    q = (
+        events.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(out_dir)
+    gaps = {
+        (r.conv_id, r.prev_ts, r.next_ts, r.gap_seconds)
+        for r in got.where("kind = 'gap'").collect()
+    }
+    want = {
+        ("a", t0 + dt.timedelta(minutes=2), t0 + dt.timedelta(minutes=30), 1680.0),
+        ("b", t0 + dt.timedelta(minutes=5), t0 + dt.timedelta(minutes=70), 3900.0),
+    }
+    assert gaps == want
+    # silence timeouts (best effort with availableNow: they fire only if
+    # a later batch's watermark passes last+gap): any emitted silence
+    # must name a conv that really went quiet before the stream's end
+    sil = {r.conv_id for r in got.where("kind = 'silence'").collect()}
+    assert sil <= {"a", "b", "c"}
