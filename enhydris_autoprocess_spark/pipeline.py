@@ -332,3 +332,14 @@ class Pipeline:
             results.append(self.run_agg_tier(i))
         results.extend(self.run_rollups(transcripts, finalize=finalize))
         return results
+
+    def apply_retention(self, policy, now_us: int) -> dict:
+        """Enforce a per-tier retention ladder (e.g. checked: days,
+        rollup_1min: weeks, rollup_1H: years, rollup_1D: forever) —
+        day-granular chunk drops, see storage/retention.py. Recorded in
+        the run log for lineage."""
+        from .storage.retention import enforce
+
+        results = enforce(self.root, policy, now_us)
+        self.ckpt.record_run({"event": "retention", "results": results})
+        return results

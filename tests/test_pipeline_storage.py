@@ -308,3 +308,73 @@ def test_gorilla_fast_encoder_parity_and_fuzz():
         )
         off += cnt
     assert off == n
+
+
+def test_retention_day_granular_expiry(spark, tmp_path):
+    """Retention (north rule third leg): whole old snapshots expire,
+    straddling snapshots drop whole old __day chunks (drop_chunks
+    analog) — never rows — and the manifest rewrite keeps pruned reads
+    consistent. Idempotent."""
+    import glob
+    import os
+
+    from enhydris_autoprocess_spark.storage.retention import (
+        RetentionPolicy,
+        enforce,
+        expire,
+    )
+
+    root = str(tmp_path / "ret")
+    t = TierTable(f"{root}/tier_demo", partition_days_col="ts")
+    day = dt.datetime
+    # snapshot 1: days 1-2 (all below the later cutoff)
+    s1 = spark.createDataFrame(
+        [("a", day(2025, 1, 1, 9), 1.0), ("a", day(2025, 1, 2, 9), 2.0)],
+        "key string, ts timestamp, value double",
+    )
+    # snapshot 2: days 3-5 (straddles)
+    s2 = spark.createDataFrame(
+        [
+            ("a", day(2025, 1, 3, 9), 3.0),
+            ("a", day(2025, 1, 4, 9), 4.0),
+            ("a", day(2025, 1, 5, 9), 5.0),
+        ],
+        "key string, ts timestamp, value double",
+    )
+    t.append(s1)
+    snap2 = t.append(s2)
+
+    # cutoff: midday Jan 4 -> snapshot 1 fully expired; day 3 dropped
+    # from snapshot 2; day 4 kept WHOLE (day granularity) though its
+    # morning precedes the cutoff instant
+    cutoff_us = int(day(2025, 1, 4, 12, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    stats = expire(t, cutoff_us)
+    assert stats == {
+        "snapshots_dropped": 1,
+        "days_dropped": 1,
+        "snapshots_trimmed": 1,
+    }
+    vals = {r.value for r in t.read(spark).collect()}
+    assert vals == {4.0, 5.0}
+    # manifest: one snapshot left, trimmed + flagged
+    snaps = t.snapshots()
+    assert [s.snapshot_id for s in snaps] == [snap2.snapshot_id]
+    assert snaps[0].properties["retention_trimmed"] is True
+    assert snaps[0].properties["rows_approximate"] is True
+    # physical day dirs gone
+    assert not glob.glob(f"{root}/tier_demo/data/*/__day=2025-01-03")
+    # idempotent
+    assert expire(t, cutoff_us) == {
+        "snapshots_dropped": 0,
+        "days_dropped": 0,
+        "snapshots_trimmed": 0,
+    }
+    assert {r.value for r in t.read(spark).collect()} == {4.0, 5.0}
+
+    # policy sweep across tiers: 1D kept forever, demo tier expired
+    now_us = int(day(2025, 1, 10, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    pol = RetentionPolicy({"tier_demo": 4 * 86400, "tier_keep": None})
+    res = enforce(root, pol, now_us)
+    assert "tier_demo" in res and "tier_keep" not in res
+    # Jan 10 - 4d = Jan 6 cutoff -> everything in tier_demo expires
+    assert t.read(spark) is None
