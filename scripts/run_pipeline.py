@@ -19,7 +19,9 @@ the reference's admin forms; validation rules identical —
                      "max_missing": 10,
                      "resulting_timestamp_offset": "1min"}],
   "channel": "text_len",
-  "gap_fill": {"enabled": true, "max_gap_slots": 60, "use_sql": false}
+  "gap_fill": {"enabled": true, "max_gap_slots": 60, "use_sql": false},
+  "retention": {"checked": 604800, "rollup_1min": 2592000,
+                 "rollup_1H": 31536000, "rollup_1D": null}
 }
 """
 
@@ -65,6 +67,8 @@ def main(argv=None) -> int:
     p.add_argument("--root", required=True, help="tier store root directory")
     p.add_argument("--finalize", action="store_true",
                    help="emit trailing incomplete rollup buckets")
+    p.add_argument("--retention-now-us", type=int, default=None,
+                   help="override 'now' for the retention sweep (tests)")
     p.add_argument(
         "--mode",
         choices=("hwm", "snapshot-incremental"),
@@ -111,6 +115,17 @@ def main(argv=None) -> int:
             f"{r.stage}: rows={r.rows_out} secs={r.seconds:.2f} "
             f"rows/s={r.rows_per_sec:.0f} snapshot={r.snapshot_id}"
         )
+    if raw.get("retention"):
+        import time
+
+        from enhydris_autoprocess_spark.storage.retention import RetentionPolicy
+
+        now_us = args.retention_now_us or int(time.time() * 1e6)
+        swept = pipe.apply_retention(
+            RetentionPolicy(raw["retention"]), now_us
+        )
+        for tier, stats in swept.items():
+            print(f"retention {tier}: {stats}")
     return 0
 
 
