@@ -46,7 +46,21 @@ def rate_of_change_check(
     ts_col: str = "ts",
     value_col: str = "value",
     flags_col: str = "flags",
+    chunk_span_seconds: int | None = None,
 ) -> DataFrame:
+    """``chunk_span_seconds``: hot-key mode. A plain window makes one
+    conversation one sort partition — a conversation holding 1% of
+    10^12 turns is a straggler task. Because the check only looks BACK
+    at most max(delta_t), each key's timeline can split into fixed
+    time chunks where rows in the last max(delta_t) seconds of a chunk
+    are also copied into the next one as lookback context (lookback-
+    only halo — no lookahead copies needed); the window then partitions
+    by (key, chunk) and halo copies drop from the output. Output is
+    identical to the unchunked path (pinned by test), cost is one
+    duplicated halo fraction, and the hot key's work spreads over
+    span-sized tasks — the same trick as skew.chunked_apply_in_pandas,
+    expressed entirely in JVM window frames.
+    """
     value = F.col(value_col)
     present = value.isNotNull() & ~F.isnan(value)
     clean = F.when(present, value)  # NULL where missing so min/max skip
@@ -54,11 +68,39 @@ def rate_of_change_check(
     epoch = ts_seconds(F.col(ts_col))
     out = df.withColumn("__v", clean).withColumn("__t", epoch)
 
+    max_dt = max(
+        parse_delta_t_seconds(th.delta_t) for th in cfg.sorted_thresholds()
+    )
+    part_cols = [key_col]
+    if chunk_span_seconds is not None:
+        if chunk_span_seconds <= max_dt:
+            raise ValueError("chunk span must exceed the longest delta_t")
+
+        def _chunk_id(sec):
+            span = F.lit(chunk_span_seconds)
+            return ((sec - F.pmod(sec, span)) / span).cast("long")
+
+        out = (
+            out.withColumn("__home", _chunk_id(F.col("__t")))
+            .withColumn(
+                "__chunk",
+                F.explode(
+                    F.array_distinct(
+                        F.array(
+                            F.col("__home"),
+                            _chunk_id(F.col("__t") + F.lit(max_dt)),
+                        )
+                    )
+                ),
+            )
+        )
+        part_cols = [key_col, "__chunk"]
+
     mask = F.lit(False)
     for th in cfg.sorted_thresholds():
         secs = parse_delta_t_seconds(th.delta_t)
         w = (
-            Window.partitionBy(key_col)
+            Window.partitionBy(*part_cols)
             .orderBy("__t")
             .rangeBetween(-secs, -1)
         )
@@ -80,4 +122,8 @@ def rate_of_change_check(
         value_col,
         F.when(has_flag(F.col(flags_col), "TEMPORAL"), F.lit(NAN)).otherwise(value),
     )
+    if chunk_span_seconds is not None:
+        out = out.where(F.col("__chunk") == F.col("__home")).drop(
+            "__home", "__chunk"
+        )
     return out.drop("__v", "__t")

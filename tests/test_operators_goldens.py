@@ -200,3 +200,41 @@ def test_regularize_nearest_wins(spark):
     _, vals_i, flags_i = collect_series(out_i)
     assert_values_equal(vals_i, [3.0])
     assert flags_i == ["DATEINSERT"]
+
+
+def test_rocc_chunked_equals_plain(spark):
+    """Hot-key chunked rocc (lookback-only halo window) must produce
+    exactly the plain per-key result, including trips whose lookback
+    record sits in the PREVIOUS chunk."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC).replace(tzinfo=None)
+    for k, n in (("hot", 500), ("a", 60)):
+        minutes = np.sort(rng.choice(n * 4, size=n, replace=False))
+        for m in minutes:
+            v = float("nan") if rng.rand() < 0.1 else float(rng.rand() * 100)
+            rows.append((k, t0 + dt.timedelta(minutes=int(m)), v, ""))
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, flags string"
+    )
+    cfg = RateOfChangeConfig(
+        (RoccThreshold("10min", 30.0), RoccThreshold("1H", 60.0)),
+        symmetric=True,
+    )
+    plain = rate_of_change_check(df, cfg).orderBy("key", "ts").collect()
+    chunked = (
+        rate_of_change_check(df, cfg, chunk_span_seconds=7200)
+        .orderBy("key", "ts")
+        .collect()
+    )
+    assert len(plain) == len(chunked)
+    import math
+
+    for ra, rb in zip(plain, chunked):
+        assert (ra.key, ra.ts, ra.flags) == (rb.key, rb.ts, rb.flags)
+        assert (math.isnan(ra.value) and math.isnan(rb.value)) or ra.value == rb.value
+    # chunking rejects spans that cannot carry the longest lookback
+    with pytest.raises(ValueError):
+        rate_of_change_check(df, cfg, chunk_span_seconds=600)
