@@ -254,6 +254,10 @@ def _worker(cpus: int, n_convs: int) -> None:
     spark = _build(cpus)
     out = run_rollup_job(spark, n_convs)
     spark.stop()
+    import shutil
+
+    for d in ("/dev/shm/spark-bench-input", "/tmp/spark-bench-input"):
+        shutil.rmtree(d, ignore_errors=True)  # don't leave GBs on tmpfs
     print("WORKER_RESULT " + json.dumps(out))
 
 
