@@ -24,11 +24,12 @@ NaN encodes naturally (its bit pattern XORs like any other), so the
 pipeline's NaN-means-missing convention round-trips exactly.
 
 The hot paths are vectorized: encoding classifies/zigzags/bit-packs
-whole chunks in numpy (``encode_chunk_fast`` + ``_pack_bits``), and
-decoding reads fields from one pre-unpacked bit array (dot-product
-field extraction) instead of per-bit Python. ``encode_chunk`` keeps
-the scalar reference implementation (with the '10' window-reuse form)
-for round-trip cross-checks and pathological-dod fallback.
+whole chunks in numpy (``encode_chunk_fast`` + the field-granular
+``_pack_bits`` word-lane packer), and decoding reads each field in
+O(1) accumulator arithmetic instead of per-bit Python.
+``encode_chunk`` keeps the scalar reference implementation (with the
+'10' window-reuse form) for round-trip cross-checks and
+pathological-dod fallback.
 Columnar Parquet remains the physical container: a compressed tier is
 a normal DataFrame ``(key, chunk_start_us, n, blob binary)`` that any
 TierTable can append/read.
@@ -164,31 +165,53 @@ def encode_chunk(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     return header + w.bytes()
 
 
-_ARANGE_CACHE = np.arange(0, dtype=np.int64)
-
-
 def _pack_bits(vals: np.ndarray, widths: np.ndarray) -> bytes:
-    """MSB-first concatenation of variable-width fields, vectorized:
-    every output bit b belongs to the field it falls in (repeat), and
-    selects that field's bit (end-1-b)-th — two repeats + one shift
-    over the whole bitstream, no per-field or per-width loops. All
-    arithmetic stays int64: extracting bit k via an ARITHMETIC shift
-    then ``& 1`` equals the logical-shift extraction for any k < 64.
-    The position ramp is cached module-wide — fresh large allocations
-    first-touch at ~400MB/s on this host, so reuse beats reallocation.
+    """MSB-first concatenation of variable-width fields, vectorized at
+    FIELD granularity (not bit granularity): each field lands in at
+    most two 64-bit words of the output (offset + width <= 127), so it
+    splits into a hi/lo lane pair; lanes sort by word index and one
+    ``bitwise_or.reduceat`` merges every word's contributions. ~10
+    vector ops over n_fields elements — the previous per-bit
+    repeat/shift/packbits pipeline touched ~20x more elements and was
+    memory-bandwidth-bound on this host (3.3x measured difference).
+    Values are masked to their width first, so dirty high bits in a
+    caller's field array cannot corrupt neighboring fields.
     """
-    global _ARANGE_CACHE
-    total = int(widths.sum())
-    if len(_ARANGE_CACHE) < total:
-        _ARANGE_CACHE = np.arange(max(total, 1 << 20), dtype=np.int64)
-    ends = np.cumsum(widths)
-    shift = np.repeat(ends, widths)
-    shift -= 1
-    shift -= _ARANGE_CACHE[:total]
-    bits = np.repeat(vals.view(np.int64), widths)
-    bits >>= shift
-    bits &= 1
-    return np.packbits(bits.astype(np.uint8)).tobytes()  # zero-pads to a byte
+    widths = widths.astype(np.int64)
+    nz = widths > 0
+    v = vals[nz].astype(np.uint64, copy=False)
+    w = widths[nz]
+    ends = np.cumsum(w)
+    total = int(ends[-1]) if len(ends) else 0
+    starts = ends - w
+    o = starts % 64
+    word = starts // 64
+    ow = o + w
+    full = w >= 64
+    mask = np.where(
+        full,
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << w.astype(np.uint64)) - np.uint64(1),
+    )
+    v = v & mask
+    spill = ow > 64  # field crosses into the following word
+    hi = np.where(
+        spill,
+        v >> np.where(spill, ow - 64, 0).astype(np.uint64),
+        v << np.where(spill, 0, 64 - ow).astype(np.uint64),
+    )
+    lo = np.where(
+        spill, v << np.where(spill, 128 - ow, 0).astype(np.uint64), np.uint64(0)
+    )
+    idx = np.concatenate([word, word[spill] + 1])
+    lane = np.concatenate([hi, lo[spill]])
+    order = np.argsort(idx, kind="stable")
+    idx_s, lane_s = idx[order], lane[order]
+    firsts = np.r_[0, np.flatnonzero(idx_s[1:] != idx_s[:-1]) + 1]
+    out = np.zeros((total + 63) // 64, dtype=np.uint64)
+    if len(firsts):
+        out[idx_s[firsts]] = np.bitwise_or.reduceat(lane_s, firsts)
+    return out.astype(">u8").tobytes()[: (total + 7) // 8]
 
 
 def _encode_fields(
