@@ -281,18 +281,23 @@ def _encode_fields(
         lead = np.minimum(63 - k, 31)
         sig = 64 - lead - trail
         payload = xor >> trail.astype(np.uint64)
-        f1 = np.where(
-            nz,
-            (
-                (np.uint64(0b11) << np.uint64(11))
-                | (lead.astype(np.uint64) << np.uint64(6))
-                | (sig.astype(np.uint64) & np.uint64(0x3F))
-            ),
+        ctrl = (
+            (np.uint64(0b11) << np.uint64(11))
+            | (lead.astype(np.uint64) << np.uint64(6))
+            | (sig.astype(np.uint64) & np.uint64(0x3F))
+        )
+        # fuse control+payload into ONE field when they fit 64 bits
+        # (sig <= 51, the overwhelmingly common case) — halves the
+        # value-stream lane count through the packer
+        fit = nz & (sig <= 51)
+        f1 = np.select(
+            [fit, nz],
+            [(ctrl << sig.astype(np.uint64)) | payload, ctrl],
             np.uint64(0),
         )
-        w1 = np.where(nz, 13, 1)
-        f2 = np.where(nz, payload, np.uint64(0))
-        w2 = np.where(nz, sig, 0)
+        w1 = np.select([fit, nz], [13 + sig, 13], 1)
+        f2 = np.where(nz & ~fit, payload, np.uint64(0))
+        w2 = np.where(nz & ~fit, sig, 0)
         fields_v.append(np.stack([f1, f2], axis=1).reshape(-1))
         fields_w.append(np.stack([w1, w2], axis=1).reshape(-1))
     return fields_v, fields_w
