@@ -203,14 +203,18 @@ def _pack_bits(vals: np.ndarray, widths: np.ndarray) -> bytes:
     lo = np.where(
         spill, v << np.where(spill, 128 - ow, 0).astype(np.uint64), np.uint64(0)
     )
-    idx = np.concatenate([word, word[spill] + 1])
-    lane = np.concatenate([hi, lo[spill]])
-    order = np.argsort(idx, kind="stable")
-    idx_s, lane_s = idx[order], lane[order]
-    firsts = np.r_[0, np.flatnonzero(idx_s[1:] != idx_s[:-1]) + 1]
     out = np.zeros((total + 63) // 64, dtype=np.uint64)
-    if len(firsts):
-        out[idx_s[firsts]] = np.bitwise_or.reduceat(lane_s, firsts)
+
+    def _or_into(idx: np.ndarray, lane: np.ndarray) -> None:
+        # idx is non-decreasing (fields are stream-ordered), so one
+        # reduceat per group suffices — no sort needed
+        if not len(idx):
+            return
+        firsts = np.r_[0, np.flatnonzero(idx[1:] != idx[:-1]) + 1]
+        out[idx[firsts]] |= np.bitwise_or.reduceat(lane, firsts)
+
+    _or_into(word, hi)
+    _or_into(word[spill] + 1, lo[spill])
     return out.astype(">u8").tobytes()[: (total + 7) // 8]
 
 
@@ -235,24 +239,23 @@ def _encode_fields(
 
     if len(dods):
         z = ((dods << 1) ^ (dods >> 63)).view(np.uint64)
-        zero = dods == 0
-        c10 = ~zero & (z < (1 << 10))
-        c110 = ~zero & ~c10 & (z < (1 << 24))
-        c1110 = ~zero & ~c10 & ~c110 & (z < (1 << 40))
-        c1111 = ~zero & ~c10 & ~c110 & ~c1110
-        f1 = np.select(
-            [zero, c10, c110, c1110, c1111],
-            [
-                np.uint64(0),
-                (np.uint64(0b10) << np.uint64(10)) | z,
-                (np.uint64(0b110) << np.uint64(24)) | z,
-                (np.uint64(0b1110) << np.uint64(40)) | z,
-                np.uint64(0b1111),
-            ],
-        ).astype(np.uint64)
-        w1 = np.select([zero, c10, c110, c1110, c1111], [1, 12, 27, 44, 4])
-        f2 = np.where(c1111, dods.view(np.uint64), np.uint64(0))
-        w2 = np.where(c1111, 64, 0)
+        # class 0: dod==0; classes 1-4 by zigzag magnitude — one
+        # searchsorted + table lookups instead of a 5-way np.select
+        # (select materializes every choice over the full array)
+        cls = 1 + np.searchsorted(
+            np.array([1 << 10, 1 << 24, 1 << 40], dtype=np.uint64), z, side="right"
+        )
+        cls[dods == 0] = 0
+        ctrl = np.array([0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)
+        pay_w = np.array([0, 10, 24, 40, 0], dtype=np.uint64)
+        w_tab = np.array([1, 12, 27, 44, 4], dtype=np.int64)
+        f1 = (ctrl[cls] << pay_w[cls]) | np.where(
+            (cls == 0) | (cls == 4), np.uint64(0), z
+        )
+        w1 = w_tab[cls]
+        big = cls == 4
+        f2 = np.where(big, dods.view(np.uint64), np.uint64(0))
+        w2 = np.where(big, 64, 0)
         fields_v.append(np.stack([f1, f2], axis=1).reshape(-1))
         fields_w.append(np.stack([w1, w2], axis=1).reshape(-1))
 
