@@ -195,7 +195,7 @@ def q_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         "ts",
-        F.round("value", 6).alias("value_sum"),
+        round6(F.col("value")).alias("value_sum"),
         F.col("n_present").cast("long").alias("n_present"),
         "flags",
     )
@@ -231,7 +231,7 @@ def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("value_sum"),
+        round6(F.sum("value")).alias("value_sum"),
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
     )
@@ -255,7 +255,7 @@ def q_tier_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
-            F.round(F.sum("value_sum"), 6).alias("value_sum"),
+            round6(F.sum("value_sum")).alias("value_sum"),
             F.min("value_min").alias("value_min"),
             F.max("value_max").alias("value_max"),
         )
@@ -537,7 +537,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM g JOIN m USING (event_type)
                   WHERE g.n >= 2)
             SELECT event_type, make_timestamp(bend - 60000000) AS ts,
-              round(s, 6) AS value_sum, n AS n_present,
+              floor(s * 1000000 + 0.5) / 1000000 AS value_sum, n AS n_present,
               CASE WHEN n < 6 THEN 'MISS' ELSE '' END AS flags
             FROM f
             WHERE NOT (bend = maxb AND n < 6 AND src_end < bend)
@@ -588,7 +588,8 @@ def oracle_sql() -> dict[str, str]:
                 make_timestamp(epoch_us(ts) + (3600000000 - epoch_us(ts) % 3600000000) % 3600000000) AS ts
               FROM events)
             SELECT user_id, coalesce(event_type, '<all>') AS event_type, ts,
-              count(*) AS n_events, round(sum(value), 6) AS value_sum,
+              count(*) AS n_events,
+              floor(sum(value) * 1000000 + 0.5) / 1000000 AS value_sum,
               min(value) AS value_min, max(value) AS value_max
             FROM b
             GROUP BY GROUPING SETS ((user_id, ts), (user_id, event_type, ts))
@@ -599,7 +600,7 @@ def oracle_sql() -> dict[str, str]:
                 make_timestamp(epoch_us(ts) + (86400000000 - epoch_us(ts) % 86400000000) % 86400000000) AS ts
               FROM events)
             SELECT user_id, ts, count(*) AS n_events,
-              round(sum(value), 6) AS value_sum,
+              floor(sum(value) * 1000000 + 0.5) / 1000000 AS value_sum,
               min(value) AS value_min, max(value) AS value_max
             FROM b GROUP BY 1, 2
         """,

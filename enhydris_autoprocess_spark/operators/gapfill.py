@@ -46,6 +46,7 @@ def complete_grid(
     flags_col: str = "flags",
     new_date_flag: str = "DATEINSERT",
     keep_offgrid: bool = False,
+    mark_offgrid: str | None = None,
 ) -> DataFrame:
     """Materialize every step-multiple between each key's min and max ts.
 
@@ -57,6 +58,12 @@ def complete_grid(
     min-anchored grid don't match any generated slot; a plain left join
     silently drops them. With ``keep_offgrid`` the join is FULL OUTER,
     so off-grid rows survive unchanged alongside the grid rows.
+
+    ``mark_offgrid``: name of a boolean column to add, true exactly for
+    those surviving off-grid rows (detected at join time: their grid
+    side is absent — no extra per-key window needed). Lets downstream
+    interpolation exclude them from the anchor set without re-deriving
+    the per-key grid anchor.
     """
     step_us = step.micros
     src = df.withColumn("__us", ts_micros(F.col(ts_col)))
@@ -66,6 +73,7 @@ def complete_grid(
     full = spans.select(
         key_col,
         F.explode(F.sequence("__g0", "__g1", F.lit(step_us))).alias("__us"),
+        F.lit(True).alias("__ongrid"),
     )
     out = (
         full.join(
@@ -81,9 +89,10 @@ def complete_grid(
             ),
         )
         .withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))
-        .drop("__us")
     )
-    return out
+    if mark_offgrid is not None:
+        out = out.withColumn(mark_offgrid, F.col("__ongrid").isNull())
+    return out.drop("__us", "__ongrid")
 
 
 def _fill_block(
@@ -209,23 +218,44 @@ def _fill_pdf(
     flags_col: str,
     max_gap_slots: int | None,
     fill_flag: str,
+    step_us: int | None = None,
+    offgrid_col: str | None = None,
 ) -> pd.DataFrame:
+    """Interpolate NaN rows between known anchors, in ts order.
+
+    ``offgrid_col``: boolean column marking pass-through rows that are
+    off the key's step grid — they neither anchor interpolation nor get
+    filled (mirrors the fused/SQL paths' ``~offgrid`` predicate).
+    ``step_us``: when given, the ``max_gap_slots`` gate measures the
+    anchors' TIME distance in slots instead of index distance — index
+    distance miscounts when off-grid pass-through rows are interleaved.
+    """
     pdf = pdf.sort_values(ts_col).reset_index(drop=True)
     v = pdf[value_col].to_numpy(dtype=np.float64, copy=True)
     t = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    off = (
+        pdf[offgrid_col].to_numpy(dtype=bool)
+        if offgrid_col is not None
+        else np.zeros(len(v), dtype=bool)
+    )
     missing = np.isnan(v)
-    if missing.any() and (~missing).any():
+    anchor = ~missing & ~off
+    if (missing & ~off).any() and anchor.any():
         idx = np.arange(len(v))
-        known = idx[~missing]
+        known = idx[anchor]
         # previous/next known index per position (vectorized)
-        prev_i = known[np.searchsorted(known, idx, side="right") - 1]
+        right = np.searchsorted(known, idx, side="right")
+        prev_i = known[np.clip(right - 1, 0, None)]
         next_pos = np.searchsorted(known, idx, side="left")
-        has_prev = np.searchsorted(known, idx, side="right") > 0
+        has_prev = right > 0
         has_next = next_pos < len(known)
         next_i = known[np.clip(next_pos, 0, len(known) - 1)]
-        can = missing & has_prev & has_next
+        can = missing & ~off & has_prev & has_next
         if max_gap_slots is not None:
-            can &= (next_i - prev_i) <= (max_gap_slots + 1)
+            if step_us is not None:
+                can &= (t[next_i] - t[prev_i]) <= (max_gap_slots + 1) * step_us
+            else:
+                can &= (next_i - prev_i) <= (max_gap_slots + 1)
         pi, ni = prev_i[can], next_i[can]
         frac = (t[can] - t[pi]) / (t[ni] - t[pi])
         v[can] = v[pi] + frac * (v[ni] - v[pi])
@@ -259,7 +289,12 @@ def gap_fill(
     chunks of that many grid slots processed in parallel with
     ``max_gap_slots + 1`` slots of halo context (requires a bounded
     ``max_gap_slots``; see skew.chunked_apply_in_pandas). Output is
-    identical to the unchunked path (tests pin this).
+    identical to the unchunked path on duplicate-free input (tests pin
+    this); off-grid rows pass through as non-anchors here too (the
+    grid join marks them, ``_fill_pdf`` masks them out). Duplicate
+    (key, ts) rows each survive as their own row like ``gap_fill_sql``
+    — same row multiset as the fused path, variant-specific slot
+    election (the fused path keeps one slot winner).
 
     ``keep_offgrid`` (default on): input rows off the per-key
     min-anchored grid, and duplicate (key, ts) rows beyond the one that
@@ -278,11 +313,13 @@ def gap_fill(
         completed = complete_grid(
             df, step, key_col, ts_col, value_col, flags_col,
             keep_offgrid=keep_offgrid,
+            mark_offgrid="__offgrid",
         )
 
         def fill_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             return _fill_pdf(
-                pdf, ts_col, value_col, flags_col, max_gap_slots, fill_flag
+                pdf, ts_col, value_col, flags_col, max_gap_slots, fill_flag,
+                step_us=step.micros, offgrid_col="__offgrid",
             )
 
         from pyspark.sql import types as T
@@ -299,7 +336,9 @@ def gap_fill(
             key_col=key_col,
             ts_col=ts_col,
         )
-        return out.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))
+        return out.drop("__offgrid").withColumn(
+            value_col, F.coalesce(F.col(value_col), F.lit(NAN))
+        )
 
     # Fused fast path: grid completion happens INSIDE the UDF, so only
     # the source rows cross the Arrow boundary inward and the Spark-side

@@ -68,8 +68,12 @@ def rate_of_change_check(
     epoch = ts_seconds(F.col(ts_col))
     out = df.withColumn("__v", clean).withColumn("__t", epoch)
 
+    # default=0 keeps the degenerate no-thresholds config a no-op
+    # (returns the input unflagged) instead of raising here; chunked
+    # mode with max_dt=0 degenerates to plain per-chunk windows.
     max_dt = max(
-        parse_delta_t_seconds(th.delta_t) for th in cfg.sorted_thresholds()
+        (parse_delta_t_seconds(th.delta_t) for th in cfg.sorted_thresholds()),
+        default=0,
     )
     part_cols = [key_col]
     if chunk_span_seconds is not None:

@@ -2,12 +2,16 @@
 delta-of-delta timestamps + XOR-encoded float values, packed per
 (key, chunk) into BinaryType blocks inside Arrow-batched pandas UDFs.
 
-Format (bitstream, MSB-first), after a 16-byte header
-(count:uint32, t0:int64 micros, reserved:uint32):
+Two wire formats share the 16-byte header
+(count:uint32, t0:int64 micros, flags:uint32); ``decode_chunk``
+dispatches on ``flags``.
+
+v1 (flags=0) — the classic interleaved Gorilla bitstream (MSB-first),
+written by the scalar ``encode_chunk``:
 
 Timestamps (Facebook Gorilla §4.1.1 layout, micros resolution with
 the paper's value ranges scaled to seconds-as-micros):
-  first delta: 32-bit signed (vs t0)
+  first delta: 64-bit signed (vs t0)
   then per point, dod = delta_i - delta_{i-1}:
     '0'                    dod == 0
     '10'  + 10-bit zigzag  |dod| fits
@@ -20,16 +24,35 @@ Values (§4.1.2):
     '0'                    xor == 0
     '10' + meaningful bits if leading>=prev_leading and trailing>=prev_trailing
     '11' + 5-bit leading + 6-bit sig-len + bits otherwise
-NaN encodes naturally (its bit pattern XORs like any other), so the
-pipeline's NaN-means-missing convention round-trips exactly.
 
-The hot paths are vectorized: encoding classifies/zigzags/bit-packs
-whole chunks in numpy (``encode_chunk_fast`` + the field-granular
-``_pack_bits`` word-lane packer), and decoding reads each field in
-O(1) accumulator arithmetic instead of per-bit Python.
-``encode_chunk`` keeps the scalar reference implementation (with the
-'10' window-reuse form) for round-trip cross-checks and
-pathological-dod fallback.
+v2 (flags=1) — the STREAM-SEPARATED layout written by the vectorized
+encoders. Interleaving control bits with payloads (v1) makes every
+field's position depend on all prior control bits, forcing decode to
+walk the stream point by point; v2 groups the fixed-width control
+streams together so every field offset is one table lookup + cumsum
+and the whole chunk decodes as ~10 numpy gathers (measured ~50x the
+v1 per-point Python decode). Layout after the header, bit-contiguous:
+  [n>1]  first delta: 64-bit signed (vs t0)
+  [n>2]  dod class stream: 2 bits per dod —
+           0: dod == 0 (no payload)   1: 12-bit zigzag payload
+           2: 32-bit zigzag payload   3: 64-bit raw payload
+  [n>2]  dod payload stream (widths from the class table)
+         first value: 64 raw bits
+  [n>1]  value control stream: 1 bit per value (1 = xor nonzero)
+  [n>1]  lead/sig stream: 11 bits (5 lead + 6 sig, 64 encodes as 0)
+         per NONZERO xor — always the explicit-window form
+  [n>1]  value payload stream: sig bits per nonzero xor
+  pad to byte
+Size vs v1 on typical tier data: +1 bit/point for dod==0 runs,
+-1 bit per changed value; net within ~2% either way.
+
+NaN encodes naturally in both (its bit pattern XORs like any other),
+so the pipeline's NaN-means-missing convention round-trips exactly.
+
+``encode_chunk`` keeps the scalar v1 implementation (with the '10'
+window-reuse form) for round-trip cross-checks and as the fallback
+for pathological dods; ``encode_chunk_fast``/``encode_chunks_batch``
+write v2 via the field-granular ``_pack_bits`` word-lane packer.
 Columnar Parquet remains the physical container: a compressed tier is
 a normal DataFrame ``(key, chunk_start_us, n, blob binary)`` that any
 TierTable can append/read.
@@ -218,12 +241,43 @@ def _pack_bits(vals: np.ndarray, widths: np.ndarray) -> bytes:
     return out.astype(">u8").tobytes()[: (total + 7) // 8]
 
 
+_DOD_BOUNDS = np.array([1 << 12, 1 << 32], dtype=np.uint64)
+_DOD_PAYLOAD_W = np.array([0, 12, 32, 64], dtype=np.int64)
+
+
+def _pack_uniform(vals: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pre-pack a uniform-width stream (width must divide 64) into
+    64-bit fields plus one partial tail field. The bit layout is
+    identical to feeding the symbols to ``_pack_bits`` one by one —
+    this just collapses the per-field packer overhead by 64/width on
+    the control streams (encode-side only; decode addresses symbols by
+    ``arange`` offsets and never sees field boundaries)."""
+    per = 64 // width
+    n = len(vals)
+    v = vals.astype(np.uint64)
+    nfull = n // per
+    shifts = (np.arange(per, dtype=np.uint64)[::-1] * np.uint64(width))
+    words = np.bitwise_or.reduce(
+        v[: nfull * per].reshape(nfull, per) << shifts[None, :], axis=1
+    )
+    rem = n - nfull * per
+    if rem:
+        tail = np.bitwise_or.reduce(
+            v[nfull * per :] << shifts[:rem] - np.uint64((per - rem) * width)
+        )
+        return (
+            np.r_[words, tail],
+            np.r_[np.full(nfull, 64, dtype=np.int64), rem * width],
+        )
+    return words, np.full(nfull, 64, dtype=np.int64)
+
+
 def _encode_fields(
     ts_us: np.ndarray, values: np.ndarray
 ) -> tuple[list[np.ndarray], list[np.ndarray]] | None:
-    """(field values, field widths) for one chunk's bitstream, or None
-    when the chunk needs the scalar fallback (pathological dods where
-    vectorized zigzag could wrap: |dod| >= 2^60)."""
+    """(field values, field widths) for one chunk's v2 bitstream, or
+    None when the chunk needs the scalar v1 fallback (pathological dods
+    where vectorized zigzag could wrap: |dod| >= 2^60)."""
     n = len(ts_us)
     t = ts_us.astype(np.int64)
     deltas = np.diff(t)
@@ -239,25 +293,19 @@ def _encode_fields(
 
     if len(dods):
         z = ((dods << 1) ^ (dods >> 63)).view(np.uint64)
-        # class 0: dod==0; classes 1-4 by zigzag magnitude — one
-        # searchsorted + table lookups instead of a 5-way np.select
+        # class 0: dod==0; classes 1-3 by zigzag magnitude — one
+        # searchsorted + table lookups instead of an np.select
         # (select materializes every choice over the full array)
-        cls = 1 + np.searchsorted(
-            np.array([1 << 10, 1 << 24, 1 << 40], dtype=np.uint64), z, side="right"
-        )
+        cls = 1 + np.searchsorted(_DOD_BOUNDS, z, side="right")
         cls[dods == 0] = 0
-        ctrl = np.array([0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)
-        pay_w = np.array([0, 10, 24, 40, 0], dtype=np.uint64)
-        w_tab = np.array([1, 12, 27, 44, 4], dtype=np.int64)
-        f1 = (ctrl[cls] << pay_w[cls]) | np.where(
-            (cls == 0) | (cls == 4), np.uint64(0), z
-        )
-        w1 = w_tab[cls]
-        big = cls == 4
-        f2 = np.where(big, dods.view(np.uint64), np.uint64(0))
-        w2 = np.where(big, 64, 0)
-        fields_v.append(np.stack([f1, f2], axis=1).reshape(-1))
-        fields_w.append(np.stack([w1, w2], axis=1).reshape(-1))
+        # v2: the 2-bit class codes form their own stream, then the
+        # payloads — both vectorially addressable on decode
+        cls_v, cls_w = _pack_uniform(cls, 2)
+        fields_v.append(cls_v)
+        fields_w.append(cls_w)
+        pay = np.where(cls == 3, dods.view(np.uint64), z)
+        fields_v.append(pay)
+        fields_w.append(_DOD_PAYLOAD_W[cls])
 
     bits = values.astype(np.float64).view(np.uint64)
     fields_v.append(bits[:1])
@@ -283,46 +331,39 @@ def _encode_fields(
         )
         lead = np.minimum(63 - k, 31)
         sig = 64 - lead - trail
-        payload = xor >> trail.astype(np.uint64)
-        ctrl = (
-            (np.uint64(0b11) << np.uint64(11))
-            | (lead.astype(np.uint64) << np.uint64(6))
-            | (sig.astype(np.uint64) & np.uint64(0x3F))
+        # v2 streams: 1-bit nonzero controls, then 11-bit lead/sig per
+        # nonzero, then the payloads — three separately-offsettable
+        # streams instead of per-value interleaving
+        ctrl_v, ctrl_w = _pack_uniform(nz, 1)
+        fields_v.append(ctrl_v)
+        fields_w.append(ctrl_w)
+        lead_nz = lead[nz].astype(np.uint64)
+        sig_nz = sig[nz]
+        fields_v.append(
+            (lead_nz << np.uint64(6)) | (sig_nz.astype(np.uint64) & np.uint64(0x3F))
         )
-        # fuse control+payload into ONE field when they fit 64 bits
-        # (sig <= 51, the overwhelmingly common case) — halves the
-        # value-stream lane count through the packer
-        fit = nz & (sig <= 51)
-        f1 = np.select(
-            [fit, nz],
-            [(ctrl << sig.astype(np.uint64)) | payload, ctrl],
-            np.uint64(0),
-        )
-        w1 = np.select([fit, nz], [13 + sig, 13], 1)
-        f2 = np.where(nz & ~fit, payload, np.uint64(0))
-        w2 = np.where(nz & ~fit, sig, 0)
-        fields_v.append(np.stack([f1, f2], axis=1).reshape(-1))
-        fields_w.append(np.stack([w1, w2], axis=1).reshape(-1))
+        fields_w.append(np.full(int(nz.sum()), 11, dtype=np.int64))
+        fields_v.append(xor[nz] >> trail[nz].astype(np.uint64))
+        fields_w.append(sig_nz)
     return fields_v, fields_w
 
 
 def encode_chunk_fast(ts_us: np.ndarray, values: np.ndarray) -> bytes:
-    """Vectorized encoder producing the same bitstream format.
+    """Vectorized encoder producing the v2 stream-separated format
+    (header flags=1; see module docstring).
 
-    One simplification vs ``encode_chunk``: non-zero value XORs always
-    use the explicit-window '11' control (never the '10'
-    reuse-previous-window form, whose window state is inherently
-    sequential). The decoder accepts both forms, so blobs from either
-    encoder round-trip; fast blobs are ~11 bits larger per changed
-    value. Everything else — dod classes, zigzag, header — is
-    identical. Falls back to the scalar encoder on pathological dods.
+    Nonzero value XORs always use the explicit-window lead/sig form
+    (never v1's reuse-previous-window '10' form, whose window state is
+    inherently sequential). ``decode_chunk`` accepts both formats, so
+    blobs from either encoder round-trip. Falls back to the scalar v1
+    encoder on pathological dods.
     """
     n = len(ts_us)
     assert n >= 1
     fields = _encode_fields(ts_us, values)
     if fields is None:
         return encode_chunk(ts_us, values)
-    header = struct.pack("<IqI", n, int(ts_us[0]), 0)
+    header = struct.pack("<IqI", n, int(ts_us[0]), 1)
     return header + _pack_bits(
         np.concatenate(fields[0]), np.concatenate(fields[1])
     )
@@ -371,14 +412,115 @@ def encode_chunks_batch(
         if ci in scalar:
             blobs.append((start, n, scalar[ci]))
             continue
-        header = struct.pack("<IqI", n, start, 0)
+        header = struct.pack("<IqI", n, start, 1)
         blobs.append((start, n, header + packed[off : off + blen]))
         off += blen
     return blobs
 
 
+def _unpack_fields(
+    words: np.ndarray, starts: np.ndarray, widths: np.ndarray
+) -> np.ndarray:
+    """Vectorized variable-width field gather — the exact inverse of
+    ``_pack_bits``'s word-lane trick: each field spans at most two
+    64-bit words, so one gather of (word, next word), two shifts and a
+    mask extract every field at once. ``words`` must carry one zero pad
+    word at the end; shift counts are pre-masked to <64 (x86/numpy
+    shifts are mod-64, so a raw ``>> 64`` would return the operand).
+    """
+    j = starts >> 6
+    o = (starts & 63).astype(np.uint64)
+    w = widths.astype(np.uint64)
+    hi = words[j] << o
+    lo = np.where(
+        o > 0, words[j + 1] >> ((np.uint64(64) - o) & np.uint64(63)), np.uint64(0)
+    )
+    take = (np.uint64(64) - w) & np.uint64(63)
+    return np.where(w > 0, (hi | lo) >> take, np.uint64(0))
+
+
+def _stream_words(blob: bytes, offset: int = 16) -> np.ndarray:
+    raw = blob[offset:]
+    pad = (-len(raw)) % 8 + 8  # round up to words + one guard word
+    return np.frombuffer(raw + b"\x00" * pad, dtype=">u8").astype(np.uint64)
+
+
+def _decode_chunk_v2(blob: bytes, n: int, t0: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the stream-separated v2 layout with ~10 numpy passes:
+    class/control streams have fixed widths (arange offsets), payload
+    widths come from table lookups, offsets from one cumsum each, and
+    the sequential dependencies collapse to ``cumsum`` (delta-of-delta)
+    and ``bitwise_xor.accumulate`` (value XOR chain)."""
+    words = _stream_words(blob)
+    pos = 0
+    ts = np.full(n, t0, dtype=np.int64)
+    if n > 1:
+        first_delta = int(
+            _unpack_fields(
+                words, np.array([0], dtype=np.int64), np.array([64], dtype=np.int64)
+            )[0].astype(np.int64)
+        )
+        pos = 64
+        dods = np.zeros(n - 2, dtype=np.int64)
+        if n > 2:
+            ncls = n - 2
+            cls = _unpack_fields(
+                words,
+                pos + 2 * np.arange(ncls, dtype=np.int64),
+                np.full(ncls, 2, dtype=np.int64),
+            ).astype(np.int64)
+            pos += 2 * ncls
+            pw = _DOD_PAYLOAD_W[cls]
+            pends = pos + np.cumsum(pw)
+            pay = _unpack_fields(words, pends - pw, pw)
+            pos = int(pends[-1]) if ncls else pos
+            unzig = ((pay >> np.uint64(1)) ^ (np.uint64(0) - (pay & np.uint64(1)))).view(
+                np.int64
+            )
+            dods = np.where(cls == 3, pay.view(np.int64), unzig)
+            dods[cls == 0] = 0
+        deltas = np.empty(n - 1, dtype=np.int64)
+        deltas[0] = first_delta
+        if n > 2:
+            deltas[1:] = first_delta + np.cumsum(dods)
+        ts[1:] += np.cumsum(deltas)
+
+    v0 = _unpack_fields(
+        words, np.array([pos], dtype=np.int64), np.array([64], dtype=np.int64)
+    )[0]
+    pos += 64
+    if n == 1:
+        return ts, np.array([v0]).view(np.float64)
+    nb = n - 1
+    ctrl = _unpack_fields(
+        words,
+        pos + np.arange(nb, dtype=np.int64),
+        np.ones(nb, dtype=np.int64),
+    ).astype(bool)
+    pos += nb
+    nnz = int(ctrl.sum())
+    xors = np.zeros(nb, dtype=np.uint64)
+    if nnz:
+        ls = _unpack_fields(
+            words,
+            pos + 11 * np.arange(nnz, dtype=np.int64),
+            np.full(nnz, 11, dtype=np.int64),
+        )
+        pos += 11 * nnz
+        lead = (ls >> np.uint64(6)).astype(np.int64)
+        sig6 = (ls & np.uint64(0x3F)).astype(np.int64)
+        sig = np.where(sig6 == 0, 64, sig6)
+        pends = pos + np.cumsum(sig)
+        pay = _unpack_fields(words, pends - sig, sig)
+        xors[ctrl] = pay << (64 - lead - sig).astype(np.uint64)
+    bits = np.bitwise_xor.accumulate(np.r_[np.array([v0], dtype=np.uint64), xors])
+    return ts, bits.view(np.float64)
+
+
 def decode_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    n, t0, _ = struct.unpack_from("<IqI", blob, 0)
+    n, t0, flags = struct.unpack_from("<IqI", blob, 0)
+    if flags == 1:
+        return _decode_chunk_v2(blob, n, t0)
     r = _BitReader(blob[16:])
     ts = np.empty(n, dtype=np.int64)
     ts[0] = t0

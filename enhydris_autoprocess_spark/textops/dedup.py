@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..cache import carry_caches
+
 # Mersenne prime 2^31-1: keeps a*h+b inside int64 (ANSI mode), since
 # (h mod p) * a < 2^62 for a,h < 2^31
 _MERSENNE = (1 << 31) - 1
@@ -168,11 +170,15 @@ def minhash_signature_fast(
         wh = (
             pd.util.hash_array(flat.astype("U")).view(np.int64) % _MERSENNE
         ).astype(np.int64)
-        # FLAT rolling polynomial (no per-doc loop), same arithmetic as
-        # the per-doc version so signature values are unchanged:
+        # FLAT rolling polynomial (no per-doc loop):
         # sh[i] = sum_j wh[i+j]*C^(k-1-j) mod p, truncated at doc ends
         # for docs shorter than k (their single shingle covers all
-        # their words).
+        # their words). For docs with >= k words this matches the old
+        # per-doc kernel exactly; for SHORTER docs the old code used
+        # exact big-int accumulation, so their signature values changed
+        # with this kernel (self-consistent within a run; Jaccard
+        # estimates equivalent — do not compare against signatures
+        # persisted by the pre-flat release).
         C = 1_000_003
         ends = np.cumsum(lens)
         starts = ends - lens
@@ -240,6 +246,8 @@ def minhash_dedup_pairs(
     exact signature-similarity filter.
 
     Output: id_a < id_b, est_jaccard (fraction of matching minhashes).
+    The persisted signature frame is attached to the result — release
+    with ``cache.release_caches(out)`` after materializing.
     """
     rows_per_band = num_hashes // bands
     with_sig = df.select(
@@ -296,7 +304,7 @@ def minhash_dedup_pairs(
         / F.lit(num_hashes)
     ).alias("est_jaccard")
     out = cand.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
-    return out
+    return carry_caches(out, with_sig)
 
 
 def _simhash_fp_fast(text: Column, shingle_k: int) -> Column:
@@ -420,7 +428,9 @@ def simhash_dedup_pairs(
     narrower blocks and bigger candidate sets (the scale trade-off:
     at 64/(k+1) bits per block, expect ~n²/2^(64/(k+1)) candidates per
     block at n docs); keep max_hamming <= 3 for web-scale corpora.
-    Candidates verify by popcount. Output: id_a < id_b, hamming.
+    Candidates verify by popcount. Output: id_a < id_b, hamming (the
+    persisted fingerprint frame rides along — release with
+    ``cache.release_caches`` after materializing).
     """
     # persist: the banded self-join references this frame on both
     # sides, and without the cache the fingerprint kernel runs twice
@@ -451,7 +461,7 @@ def simhash_dedup_pairs(
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -466,6 +476,7 @@ def simhash_dedup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return carry_caches(out, base)
 
 
 def ngram_jaccard_pairs(

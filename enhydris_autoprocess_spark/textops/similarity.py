@@ -17,7 +17,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+from ..cache import carry_caches
 
 
 def _as_double(col: Column) -> Column:
@@ -276,12 +279,30 @@ def ivf_cosine_topk(
     )
 
     # --- train centroids on a bounded sample (driver numpy) -----------
+    # seeded sample() + limit: a plain scan-and-stop, vs the previous
+    # orderBy(xxhash64).limit which compiled to TakeOrdered — still no
+    # full shuffle, but a per-partition top-k heap over the whole
+    # corpus just to draw a fixed-size sample. The count() that sizes
+    # the fraction is parquet-metadata-cheap and also catches the
+    # empty corpus up front.
+    target = n_cells * sample_per_cell
+    corpus_rows = c.count()
+    if corpus_rows == 0:
+        schema = T.StructType(
+            [
+                T.StructField("query_id", q.schema["query_id"].dataType, True),
+                T.StructField("neighbor_id", c.schema["neighbor_id"].dataType, True),
+                T.StructField("score", T.DoubleType(), True),
+                T.StructField("rank", T.IntegerType(), True),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], schema)
+    fraction = min(1.0, 4.0 * target / corpus_rows)
     sample_rows = (
-        c.select("cv")
-        .orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
-        .limit(n_cells * sample_per_cell)
-        .collect()
+        c.select("cv").sample(fraction=fraction, seed=seed).limit(target).collect()
     )
+    if not sample_rows:  # unlucky draw on a tiny corpus
+        sample_rows = c.select("cv").limit(target).collect()
     X = np.array([r["cv"] for r in sample_rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -412,7 +433,10 @@ def embedding_near_dup_pairs(
     score = cosine_fast(F.col("va"), F.col("vb"))
     if round_digits is not None:
         score = _round6(score)
-    return (
+    out = (
         pairs.select("id_a", "id_b", score.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    if method == "lsh":
+        out = carry_caches(out, sig)
+    return out
