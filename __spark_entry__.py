@@ -5,10 +5,10 @@ training-data ops) over the driver's parquet tables; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for every SQL-expressible one. The LSH
 /IVF internals are not SQL-expressible, but their OUTPUTS are oracle-
 checked through invariants (candidates exact-verified, or recall~1 /
-exhaustive-probe gate parameters where the approximate result provably
-equals the exact one — see the section comments). The single rows-only
-entry left is ``simhash_dedup`` (its planted recall is < 1 by
-construction); it is pinned by pytest planted-dup tests instead
+exhaustive-probe / pigeonhole-complete gate parameters where the
+approximate result provably equals the exact one — see the section
+comments). Every entry has an oracle; production-parameterized
+variants of the gated queries stay pinned by pytest
 (tests/test_textops.py).
 
 Conventions shared by both sides so the value-hash comparison is
@@ -46,6 +46,7 @@ from enhydris_autoprocess_spark.operators.aggregate import (
     source_end_frame,
     trim_last_if_incomplete,
 )
+from enhydris_autoprocess_spark.cache import carry_caches
 from enhydris_autoprocess_spark.schema import nan_to_null
 from enhydris_autoprocess_spark.textops import (
     brute_force_cosine_topk,
@@ -352,9 +353,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole LSH DAG would evaluate twice
     cand = minhash_dedup_pairs(docs, threshold=0.5).persist()
     verified = ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
-    return verified.select(
+    out = verified.select(
         "id_a", "id_b", round6(F.col("jaccard")).alias("jaccard")
     )
+    return carry_caches(out, cand)
 
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,15 +391,27 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- no-oracle (rows-only) ops ------------------------------------------------
-
-
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash is the one genuinely no-oracle entry left: its planted
-    recall is 24/25 by construction (one planted pair sits outside the
-    Hamming radius), so an exact-verification oracle would mismatch by
-    design; pinned by pytest planted-dup tests instead."""
-    return simhash_dedup_pairs(_documents(spark, sf_dir), max_hamming=8)
+    """SimHash blocking at a gate-parameterized radius -> exact
+    shingle-Jaccard verification (the same trick that made
+    ``minhash_dedup`` oracle-checkable).
+
+    At ``max_hamming=15`` the pigeonhole blocking (16 blocks) is
+    provably complete for every pair within Hamming distance 15, and
+    every jaccard>=0.5 pair on the gate corpora sits well inside that
+    radius (measured max qualifying Hamming: 12 at sf0.001, 8 at
+    sf0.01, 12 at sf0.1 — deterministic corpora), so exact-verifying
+    the candidates provably reproduces the all-pairs jaccard>=0.5
+    oracle. The production-radius query (max_hamming=8, hamming
+    output) stays pinned by the pytest planted-dup tests and is what
+    the bench times."""
+    docs = _documents(spark, sf_dir)
+    cand = simhash_dedup_pairs(docs, max_hamming=15).persist()
+    verified = ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+    out = verified.select(
+        "id_a", "id_b", round6(F.col("jaccard")).alias("jaccard")
+    )
+    return carry_caches(out, cand)
 
 
 # -------------------------------------------------------------------------------
@@ -689,6 +703,25 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.35
         """,
         "minhash_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                list_distinct([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+              FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              floor(len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(list_concat(a.s, b.s))) * 1000000 + 0.5)
+                / 1000000 AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "simhash_dedup": r"""
             WITH t AS (
               SELECT doc_id,
                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import carry_caches
 from ..flags import append_flag
 from ..schema import NAN, ts_micros
 from ..timeutil import MICROS, Step
@@ -414,6 +415,68 @@ def gap_fill(
         .mapInPandas(fill_stream, schema=schema)
     )
     return out.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))
+
+
+def gap_fill_auto(
+    df: DataFrame,
+    step: Step,
+    max_gap_slots: int | None = None,
+    fill_flag: str = "FILLED",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    flags_col: str = "flags",
+    hot_span_slots: int | None = 1008,
+    num_partitions: int | None = None,
+    keep_offgrid: bool = True,
+) -> DataFrame:
+    """Skew-aware gap-fill: route each key by its timeline span.
+
+    The fused path's cost per key is its grid span (output rows =
+    span/step), and one conversation spanning years becomes one
+    straggler task at 10^12-turn scale. Keys spanning more than
+    ``hot_span_slots`` grid slots route to the time-chunked variant
+    (the hot key's work spreads over span/hot_span_slots parallel
+    tasks); everything else takes the fused single-shuffle path, whose
+    cross-key vectorization the chunked variant's per-(key, chunk)
+    ``applyInPandas`` groups would forfeit (~5 ms of group bookkeeping
+    per group — ruinous as a default over millions of cold keys).
+
+    The hot-key set comes from one tiny span aggregation (map-side
+    combined, broadcast back), so the routing adds one cheap pass + two
+    broadcast semi/anti joins. ``df``'s plan is consumed three times
+    (span agg + both branches), so it is persisted here and attached to
+    the result — release with ``cache.release_caches`` once the output
+    is materialized. Requires bounded ``max_gap_slots`` (the chunk
+    halo); with ``hot_span_slots=None`` this is plain ``gap_fill``.
+    """
+    if max_gap_slots is None or hot_span_slots is None:
+        return gap_fill(
+            df, step, max_gap_slots, fill_flag, key_col, ts_col, value_col,
+            flags_col, num_partitions=num_partitions, keep_offgrid=keep_offgrid,
+        )
+    if max_gap_slots + 1 >= hot_span_slots:
+        raise ValueError("hot_span_slots must exceed max_gap_slots + 1")
+    df = df.persist()
+    us = ts_micros(F.col(ts_col))
+    hot_keys = F.broadcast(
+        df.groupBy(key_col)
+        .agg(((F.max(us) - F.min(us)) / F.lit(step.micros)).alias("__span"))
+        .where(F.col("__span") > hot_span_slots)
+        .select(key_col)
+    )
+    cold = gap_fill(
+        df.join(hot_keys, key_col, "left_anti"),
+        step, max_gap_slots, fill_flag, key_col, ts_col, value_col,
+        flags_col, num_partitions=num_partitions, keep_offgrid=keep_offgrid,
+    )
+    hot = gap_fill(
+        df.join(hot_keys, key_col, "left_semi"),
+        step, max_gap_slots, fill_flag, key_col, ts_col, value_col,
+        flags_col, chunk_span_slots=hot_span_slots,
+        num_partitions=num_partitions, keep_offgrid=keep_offgrid,
+    )
+    return carry_caches(cold.unionByName(hot), df)
 
 
 def gap_fill_sql(

@@ -40,8 +40,11 @@ dedup naturally (at-least-once, like Celery redelivery in the
 reference).
 
 Skew: aggregations are partial+final (map-side combine absorbs hot
-conv_ids); the only per-key serial stage is pandas gap-fill, which is
-bounded by ``max_gap_slots`` and can be chunked (storage/skew TODO).
+conv_ids); the per-key serial stages — rocc's window sort and pandas
+gap-fill — are time-chunked for hot conversations by default
+(``hot_key_chunking``: rocc chunks unconditionally via JVM halo
+windows, gap-fill routes multi-chunk-span keys to the chunked variant
+— see operators/rocc.py and gap_fill_auto).
 """
 
 from __future__ import annotations
@@ -53,8 +56,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cache import release_caches
 from .config import PipelineConfig
 from .operators import aggregate, gap_fill, gap_fill_sql, regularize, run_checks
+from .operators.gapfill import gap_fill_auto
 from .rollup import rollup_tier, rollup_transcripts
 from .schema import transcripts_to_series
 from .storage import CheckpointStore, TierTable
@@ -85,7 +90,21 @@ class Pipeline:
         gap_fill_enabled: bool = True,
         max_gap_slots: int | None = 60,
         compress_tiers: bool = False,
+        hot_key_chunking: bool = True,
+        hot_chunk_span_seconds: int = 7 * 86400,
     ):
+        """``hot_key_chunking`` (default on): the two per-key serial
+        stages — the rate-of-change window sort and the pandas
+        gap-fill — split hot conversations into
+        ``hot_chunk_span_seconds`` time chunks so one conversation
+        holding 1% of 10^12 turns is span/chunk parallel tasks, not
+        one straggler. rocc chunks unconditionally (JVM window frames,
+        ~free); gap-fill routes only keys spanning more than one chunk
+        to the chunked variant (per-group pandas overhead would ruin
+        the common case — see gap_fill_auto). Output is identical
+        either way (pinned by tests), so the knob is excluded from the
+        config hash and flipping it does not invalidate checkpoints.
+        """
         self.spark = spark
         self.cfg = cfg
         self.channel = channel
@@ -104,6 +123,8 @@ class Pipeline:
         self.gap_fill_enabled = gap_fill_enabled
         self.max_gap_slots = max_gap_slots
         self.compress_tiers = compress_tiers
+        self.hot_key_chunking = hot_key_chunking
+        self.hot_chunk_span_seconds = hot_chunk_span_seconds
 
     def table(self, name: str) -> TierTable:
         if name not in self.tables:
@@ -178,23 +199,44 @@ class Pipeline:
         t0 = time.time()
         fresh = self.ckpt.filter_new(transcripts, "checked", key_col="conv_id")
         series = transcripts_to_series(fresh, channel=self.channel)
-        checked = run_checks(series, self.cfg)
+        checked = run_checks(
+            series,
+            self.cfg,
+            chunk_span_seconds=(
+                self.hot_chunk_span_seconds if self.hot_key_chunking else None
+            ),
+        )
         if self.gap_fill_enabled:
-            fill = gap_fill_sql if self.use_sql_gapfill else gap_fill
             step = parse_step(self.cfg.source_time_step)
             # conv_id/turn_idx ride through the gap-fill schema (both
             # variants round-trip extra columns; inserted grid rows get
             # them NULL) — re-attaching them with a (key, ts) equi-join
             # against the checked output would re-shuffle the whole
             # checked table once more per run for nothing.
-            checked = fill(
-                checked.select(
-                    "key", "ts", "value", "flags", "conv_id", "turn_idx"
-                ),
-                step,
-                max_gap_slots=self.max_gap_slots,
+            narrow = checked.select(
+                "key", "ts", "value", "flags", "conv_id", "turn_idx"
             )
-        return self._commit(
+            hot_span_slots = self.hot_chunk_span_seconds * MICROS // step.micros
+            if self.use_sql_gapfill:
+                checked = gap_fill_sql(
+                    narrow, step, max_gap_slots=self.max_gap_slots
+                )
+            elif (
+                self.hot_key_chunking
+                and self.max_gap_slots is not None
+                and hot_span_slots > self.max_gap_slots + 1
+            ):
+                checked = gap_fill_auto(
+                    narrow,
+                    step,
+                    max_gap_slots=self.max_gap_slots,
+                    hot_span_slots=hot_span_slots,
+                )
+            else:
+                checked = gap_fill(
+                    narrow, step, max_gap_slots=self.max_gap_slots
+                )
+        res = self._commit(
             "checked",
             checked,
             fresh.select(F.col("conv_id"), F.col("ts")),
@@ -202,6 +244,8 @@ class Pipeline:
             t0,
             {"source": "transcripts"},
         )
+        release_caches(checked)
+        return res
 
     def run_agg_tier(self, cfg_index: int = 0) -> StageResult:
         """checked -> aggregated tier (reference semantics:

@@ -1,23 +1,28 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Two dependency-free REAL decoders are built in (numpy only):
+Three dependency-free REAL decoders are built in (stdlib + numpy only):
 
 - PPM (P6 binary, maxval<=255) -> (h, w, 3) uint8 pixels;
+- PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -> (h, w, 3)
+  uint8 pixels — stdlib ``zlib`` inflate + numpy per-scanline
+  unfiltering (Sub/Up vectorized per byte lane, Average/Paeth by their
+  sequential definition);
 - WAV (RIFF PCM 8/16/32-bit) -> mono float32 samples + sample rate.
 
-Formats that genuinely need codec libraries (PNG/JPEG, MP3/AAC, any
-video) stay STUBBED behind NotImplementedError unless ``fake=True``,
-in which case a deterministic fake decoder (seeded from the bytes)
-produces stable features so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested
-end-to-end regardless of available codecs.
+Formats that genuinely need codec libraries (JPEG, MP3/AAC, any video)
+stay STUBBED behind NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder (seeded from the bytes) produces
+stable features so the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested end-to-end
+regardless of available codecs.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -83,6 +88,107 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     n = width * height * 3
     pixels = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return pixels.reshape(height, width, 3)
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (h, stride) uint8.
+
+    Each scanline = 1 filter byte + stride filtered bytes. Filters 0-2
+    (None/Sub/Up) vectorize: Sub is a per-byte-lane cumulative sum mod
+    256, Up a running row add. Average (3) and Paeth (4) reference the
+    RECONSTRUCTED left neighbor, so they walk the row pixel by pixel —
+    each step is one bpp-wide numpy op (per PNG spec §9; rows remain
+    sequential regardless, since every filter may reference the row
+    above)."""
+    rl = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(rl[y, 0])
+        cur = rl[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: cumsum per byte lane
+            rec = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average
+            rec = cur.copy()
+            rec[:bpp] = (cur[:bpp] + prev[:bpp] // 2) % 256
+            for x in range(bpp, stride, bpp):
+                rec[x : x + bpp] = (
+                    cur[x : x + bpp]
+                    + (rec[x - bpp : x] + prev[x : x + bpp]) // 2
+                ) % 256
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            zero = np.zeros(bpp, dtype=np.int64)
+            for x in range(0, stride, bpp):
+                a = rec[x - bpp : x] if x else zero
+                b = prev[x : x + bpp]
+                c = prev[x - bpp : x] if x else zero
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                rec[x : x + bpp] = (cur[x : x + bpp] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (height, width, 3) uint8. Supports bit depth 8, color
+    types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA; alpha is
+    dropped, gray replicated to 3 channels), interlace 0. 16-bit and
+    Adam7-interlaced images raise NotImplementedError."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color}")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    img = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[img[..., 0]]
+    if color in (0, 4):  # gray(+alpha): replicate, drop alpha
+        return np.repeat(img[..., :1], 3, axis=2)
+    return img[..., :3]  # RGB / RGBA (alpha dropped)
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -166,15 +272,19 @@ def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Image payload -> feature vector. Real path decodes binary PPM;
-    other image formats need PIL/cv2 (not in this container)."""
+    """Image payload -> feature vector. Real paths decode binary PPM
+    and 8-bit PNG (dependency-free); JPEG/WebP/... need PIL/cv2 (not
+    in this container)."""
     if fake:
         return _fake_decode(payload)
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
+    if payload[:8] == PNG_SIG:
+        return image_features(decode_png(payload))
     raise NotImplementedError(
-        "real decode of non-PPM images requires PIL/cv2 (not installed "
-        "in this container); pass fake=True for the deterministic stub"
+        "real decode of non-PPM/PNG images requires PIL/cv2 (not "
+        "installed in this container); pass fake=True for the "
+        "deterministic stub"
     )
 
 
@@ -253,6 +363,71 @@ def make_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+def make_png(
+    pixels: np.ndarray, filter_type: int = 0, color: int = 2
+) -> bytes:
+    """Encode uint8 pixels -> PNG (for tests/fixtures). ``pixels`` is
+    (h, w, 3) for color type 2 (RGB) or (h, w) for type 0 (gray).
+    ``filter_type`` applies the given PNG filter to every scanline so
+    the decoder's unfiltering paths can each be exercised."""
+    if color == 2:
+        h, w = pixels.shape[:2]
+        flat = pixels.astype(np.int64).reshape(h, w * 3)
+        bpp = 3
+    elif color == 0:
+        h, w = pixels.shape
+        flat = pixels.astype(np.int64).reshape(h, w)
+        bpp = 1
+    else:
+        raise ValueError("test encoder supports color types 0 and 2")
+    lines = []
+    prev = np.zeros(flat.shape[1], dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(filter_type)
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_wav(rate: int, samples: np.ndarray) -> bytes:
     """Encode mono float32 [-1,1] -> 16-bit PCM WAV (for tests)."""
     pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
@@ -277,8 +452,9 @@ def make_wav(rate: int, samples: np.ndarray) -> bytes:
 
 def fake_media_frame(spark, n: int = 32, seed: int = 5) -> DataFrame:
     """Deterministic synthetic media table for tests: images are REAL
-    tiny PPMs and audio is REAL PCM WAV (decodable with fake=False);
-    video payloads are random bytes (real video decode is lib-blocked)."""
+    tiny PPMs and PNGs (alternating, with rotating PNG filter types)
+    and audio is REAL PCM WAV (decodable with fake=False); video
+    payloads are random bytes (real video decode is lib-blocked)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -286,7 +462,10 @@ def fake_media_frame(spark, n: int = 32, seed: int = 5) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
-            payload = make_ppm(px)
+            if (i // 3) % 2:
+                payload = make_png(px, filter_type=(i // 6) % 5)
+            else:
+                payload = make_ppm(px)
         elif kind == "audio":
             t = np.arange(800, dtype=np.float32) / 8000.0
             payload = make_wav(8000, np.sin(2 * np.pi * (100 + 50 * i) * t))

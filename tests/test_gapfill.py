@@ -115,6 +115,78 @@ def test_chunked_equals_unchunked(spark):
         assert (math.isnan(ra.value) and math.isnan(rb.value)) or ra.value == rb.value
 
 
+def test_chunked_matches_sql_on_offgrid_input(spark):
+    """ADVICE r02 (medium): the chunked path treated off-grid
+    pass-through rows as interpolation anchors while the fused/SQL
+    paths exclude them. Now all paths agree on dirty input: off-grid
+    rows survive unchanged and never anchor."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for k in ("x", "y"):
+        for m in range(0, 300, 1):
+            if rng.rand() < 0.3:
+                continue
+            base = T0.replace(tzinfo=None) + dt.timedelta(minutes=m)
+            rows.append((k, base, float(rng.rand() * 10), ""))
+            if rng.rand() < 0.1:  # off-grid straggler between slots
+                rows.append(
+                    (k, base + dt.timedelta(seconds=17), 999.0, "OFF")
+                )
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, flags string"
+    )
+    step = parse_step("1min")
+    sql = gap_fill_sql(df, step, max_gap_slots=4).orderBy("key", "ts", "flags").collect()
+    chunked = (
+        gap_fill(df, step, max_gap_slots=4, chunk_span_slots=60)
+        .orderBy("key", "ts", "flags")
+        .collect()
+    )
+    assert len(sql) == len(chunked)
+    for ra, rb in zip(sql, chunked):
+        assert (ra.key, ra.ts, ra.flags) == (rb.key, rb.ts, rb.flags)
+        assert (math.isnan(ra.value) and math.isnan(rb.value)) or ra.value == rb.value
+    # no interpolated value was pulled toward the 999.0 off-grid rows
+    assert all(r.value < 100 for r in chunked if "FILLED" in r.flags)
+
+
+def test_gap_fill_auto_routes_hot_keys(spark):
+    """gap_fill_auto must produce exactly the plain result while
+    routing only the long-span key through the chunked variant."""
+    import math
+
+    import numpy as np
+
+    from enhydris_autoprocess_spark.cache import release_caches
+    from enhydris_autoprocess_spark.operators.gapfill import gap_fill_auto
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for k, span in (("hot", 600), ("a", 40), ("b", 30)):
+        minutes = sorted(rng.choice(span, size=span // 2, replace=False).tolist())
+        for m in minutes:
+            v = float("nan") if rng.rand() < 0.2 else float(rng.rand() * 50)
+            rows.append(
+                (k, T0.replace(tzinfo=None) + dt.timedelta(minutes=int(m)), v, "")
+            )
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, flags string"
+    )
+    step = parse_step("1min")
+    plain = gap_fill(df, step, max_gap_slots=5).orderBy("key", "ts").collect()
+    auto = gap_fill_auto(df, step, max_gap_slots=5, hot_span_slots=100)
+    got = auto.orderBy("key", "ts").collect()
+    release_caches(auto)
+    assert len(plain) == len(got)
+    for ra, rb in zip(plain, got):
+        assert (ra.key, ra.ts, ra.flags) == (rb.key, rb.ts, rb.flags)
+        assert (math.isnan(ra.value) and math.isnan(rb.value)) or ra.value == rb.value
+
+
 @pytest.mark.parametrize("impl", [gap_fill, gap_fill_sql], ids=["pandas", "sql"])
 def test_offgrid_and_duplicate_rows_are_preserved(spark, impl):
     """Dirty input (off-grid timestamps, duplicate (key, ts) rows) must

@@ -378,3 +378,43 @@ def test_retention_day_granular_expiry(spark, tmp_path):
     assert "tier_demo" in res and "tier_keep" not in res
     # Jan 10 - 4d = Jan 6 cutoff -> everything in tier_demo expires
     assert t.read(spark) is None
+
+
+def test_hot_key_chunking_identical_output(spark, transcripts, tmp_path):
+    """VERDICT r02 #5: the hot-key chunked modes (chunked rocc windows +
+    gap_fill_auto routing) are now the production default. A pipeline
+    run with chunking on (span small enough that real keys route hot)
+    must write byte-identical checked/agg tiers to a run with it off."""
+    roots = {}
+    for mode, on in (("chunked", True), ("plain", False)):
+        root = str(tmp_path / mode)
+        p = Pipeline(
+            spark,
+            root,
+            CFG,
+            hot_key_chunking=on,
+            # 1h chunks at 1-min source step: convs spanning >60 turns
+            # route hot; rocc chunk span 3600s > max delta_t 600s
+            hot_chunk_span_seconds=3600,
+        )
+        p.run(transcripts, finalize=True)
+        roots[mode] = root
+    for stage in ("checked", "agg_H_sum", "rollup_1H"):
+        a = _tier_canon(spark, roots["chunked"], stage)
+        b = _tier_canon(spark, roots["plain"], stage)
+        assert a == b, f"{stage}: chunked and plain tiers differ"
+    # the routing genuinely split: at least one conv spans > 60 slots
+    from enhydris_autoprocess_spark.schema import ts_micros
+
+    spans = (
+        transcripts.groupBy("conv_id")
+        .agg(
+            (
+                (F.max(ts_micros(F.col("ts"))) - F.min(ts_micros(F.col("ts"))))
+                / 60_000_000
+            ).alias("span")
+        )
+        .where(F.col("span") > 60)
+        .count()
+    )
+    assert spans > 0, "fixture has no hot key; raise conv lengths"

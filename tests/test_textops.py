@@ -277,3 +277,62 @@ def test_ivf_cosine_topk_exact_at_full_probe_and_recall(spark):
     for pair, score in part_scored.items():
         if pair in bf_scored:
             assert score == bf_scored[pair]
+
+
+def test_multimodal_png_decode():
+    """Dependency-free PNG decoder (VERDICT r02 #6): zlib inflate +
+    numpy per-scanline unfiltering. Round-trips every filter type and
+    matches the PPM decoder's features on identical pixels."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.textops.multimodal import (
+        decode_png,
+        image_features,
+        make_png,
+    )
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    for ftype in range(5):  # None/Sub/Up/Average/Paeth
+        assert np.array_equal(
+            decode_png(make_png(px, filter_type=ftype)), px
+        ), f"filter {ftype}"
+    # grayscale (color type 0) replicates to 3 channels
+    gray = rng.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    out = decode_png(make_png(gray, filter_type=4, color=0))
+    assert out.shape == (5, 9, 3)
+    assert np.array_equal(out[..., 0], gray) and np.array_equal(out[..., 2], gray)
+    # golden: a fixed 2x2 RGB image, exact feature values
+    gpx = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]],
+        dtype=np.uint8,
+    )
+    feat = image_features(decode_png(make_png(gpx, filter_type=1)))
+    assert feat[:2].tolist() == [2.0, 2.0]
+    assert feat[2] == pytest.approx((255 + 10) / 4)
+    # malformed/unsupported payloads fail loudly
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    blob = bytearray(make_png(gpx))
+    # corrupt IHDR bit depth to 16 -> NotImplementedError
+    blob[24] = 16
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(blob))
+
+
+def test_multimodal_png_through_spark(spark):
+    """fake_media_frame now mixes PNG and PPM images; fake=False must
+    really decode both through the mapInPandas path."""
+    from enhydris_autoprocess_spark.textops.multimodal import (
+        PNG_SIG,
+        extract_features,
+        fake_media_frame,
+    )
+
+    media = fake_media_frame(spark, n=24).where("kind = 'image'")
+    payloads = [bytes(r.payload) for r in media.collect()]
+    assert any(p[:8] == PNG_SIG for p in payloads)
+    assert any(p[:2] == b"P6" for p in payloads)
+    feats = extract_features(media, fake=False).collect()
+    assert len(feats) == len(payloads)
+    assert all(r.feature[0] == 8.0 and r.feature[1] == 8.0 for r in feats)
