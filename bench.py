@@ -10,10 +10,13 @@ ONE JSON line:
 
 Scaling evidence (BASELINE.json: efficiency >= 0.8 from N to 4N
 executors; no real cluster in this sandbox): the same rollup job runs
-in two fresh subprocess JVMs at local[N] and local[4N] on the same
+in fresh subprocess JVMs at local[N] and local[4N] on the same
 JVM-generated input (generation + cache excluded from the timed
-window; one warmup run for JIT/codegen, then best-of-2).
-efficiency = (throughput_4N / throughput_N) / 4.
+window; one warmup run for JIT/codegen, then best-of-2), in >= 3
+alternating N/4N pairs with a Spark-free host probe sampled in each
+pair's window. efficiency = (avg throughput_4N / avg throughput_N)/4;
+the JSON carries the full per-pair ladder plus the efficiency
+normalized by the same-window host ceiling.
 
 N defaults to 4 (pair local[4] vs local[16]): this VM has 32 SMT
 vCPUs over ~16 physical cores — a raw-CPU probe (32 multiprocessing
@@ -36,12 +39,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 60k convs ~ 14.3M turns: large enough that steady-state work
+# 120k convs ~ 28.6M turns: large enough that steady-state work
 # dominates the per-stage fixed costs on the 4-thread leg (at 30k the
-# same code measured 0.62 efficiency purely from overhead dilution;
-# round-1 saw the same effect and used >=7M turns)
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
+# same code measured 0.62 efficiency purely from overhead dilution,
+# 60k measured 0.78; round-1 saw the same effect and used >=7M turns)
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 
 HEADLINE = [
     "range_check",
@@ -129,6 +133,83 @@ def gorilla_codec_bench(n: int = 65536) -> dict:
         "encode_speedup": round(t_scalar / t_fast, 2),
         "decode_pts_per_sec": round(n / t_dec, 1),
     }
+
+
+def pipeline_compressed_bench(spark, n_convs: int = 20000) -> dict:
+    """End-to-end pipeline leg WITH Gorilla tier compression
+    (compress_tiers=True), so the codec's budget shows up in-pipeline
+    rather than only as a micro-bench: full run (checks -> gap-fill ->
+    agg tier + gorilla copy -> rollups), then the checked tier (the
+    big per-turn series) compressed and decompressed through Spark.
+    """
+    import shutil
+
+    from enhydris_autoprocess_spark.config import (
+        AggregationConfig,
+        PipelineConfig,
+        RangeCheckConfig,
+        RateOfChangeConfig,
+        RoccThreshold,
+    )
+    from enhydris_autoprocess_spark.pipeline import Pipeline
+    from enhydris_autoprocess_spark.storage import TierTable
+    from enhydris_autoprocess_spark.storage.gorilla import (
+        compress_series,
+        decompress_series,
+    )
+    from enhydris_autoprocess_spark.synth import generate_transcripts_jvm
+    from pyspark.sql import functions as F
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, "spark-bench-compressed")
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = PipelineConfig(
+        range_check=RangeCheckConfig(0, 3000, 5, 2500),
+        rate_of_change=RateOfChangeConfig((RoccThreshold("10min", 2000.0),)),
+        aggregations=(AggregationConfig("H", "sum", 10, "1min"),),
+        source_time_step="1min",
+    )
+    transcripts = generate_transcripts_jvm(spark, n_convs=n_convs, seed=42).persist()
+    n_turns = transcripts.count()  # materialize outside the timed window
+    p = Pipeline(spark, root, cfg, compress_tiers=True)
+    t0 = time.time()
+    results = p.run(transcripts, finalize=True)
+    t_run = time.time() - t0
+    transcripts.unpersist()
+
+    checked = TierTable(os.path.join(root, "checked")).read(spark).select(
+        "key", "ts", "value", "flags"
+    )
+    n_checked = checked.count()
+    t0 = time.time()
+    comp = compress_series(checked, flags_col="flags")
+    comp.write.mode("overwrite").parquet(os.path.join(root, "checked_gorilla"))
+    t_enc = time.time() - t0
+    comp_stats = spark.read.parquet(os.path.join(root, "checked_gorilla")).agg(
+        F.sum(F.length("blob")).alias("bytes"), F.sum("n").alias("pts")
+    ).first()
+    t0 = time.time()
+    n_back = decompress_series(
+        spark.read.parquet(os.path.join(root, "checked_gorilla"))
+    ).count()
+    t_dec = time.time() - t0
+    out = {
+        "turns": n_turns,
+        "run_seconds": round(t_run, 3),
+        "turns_per_sec": round(n_turns / t_run, 1),
+        "agg_tier_rows": next(
+            (r.rows_out for r in results if r.stage.startswith("agg_")), 0
+        ),
+        "checked_points": n_checked,
+        "roundtrip_ok": n_back == n_checked,
+        "gorilla_bytes_per_point": round(
+            comp_stats["bytes"] / max(comp_stats["pts"], 1), 2
+        ),
+        "spark_encode_pts_per_sec": round(n_checked / t_enc, 1),
+        "spark_decode_pts_per_sec": round(n_back / t_dec, 1),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _build(cpus: int):
@@ -267,7 +348,7 @@ def _spawn_worker(cpus: int, n_convs: int) -> dict:
          str(cpus), str(n_convs)],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     for line in proc.stdout.splitlines():
@@ -285,6 +366,8 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    from enhydris_autoprocess_spark.cache import release_caches
+
     # Scaling pair FIRST, headline after: this host throttles sustained
     # multi-thread load (short CPU probes scale ~1.0 while long Spark
     # runs degrade minute-over-minute — burstable-instance behavior),
@@ -296,14 +379,34 @@ def main() -> None:
         # minutes apart (burstable-instance behavior; host_probe makes
         # it visible in-band). Taking the BEST leg per config across
         # attempts mixes windows and can even make N beat 4N; instead
-        # the legs alternate (lo,hi,lo,hi) and efficiency comes from
-        # the AVERAGED throughput per config — window luck cancels
-        # symmetrically. A third alternation runs only if the first two
-        # disagree wildly.
-        los = [_spawn_worker(SCALE_N, BENCH_CONVS)]
-        his = [_spawn_worker(4 * SCALE_N, BENCH_CONVS)]
-        los.append(_spawn_worker(SCALE_N, BENCH_CONVS))
-        his.append(_spawn_worker(4 * SCALE_N, BENCH_CONVS))
+        # the legs alternate (lo,hi,lo,hi,...) and efficiency comes
+        # from the AVERAGED throughput per config — window luck cancels
+        # symmetrically. Round 2 ran only 2 alternations and one fast
+        # host window on a single N leg still skewed the recorded
+        # artifact, so now: always >= SCALE_PAIRS (default 3) pairs, a
+        # host probe taken inside each pair's window, the full
+        # per-pair ladder in the JSON, and an efficiency normalized by
+        # the same-window host ceiling next to the raw number.
+        los, his, probes, ladder = [], [], [], []
+
+        def _run_pair():
+            hp = host_probe(SCALE_N)
+            lo = _spawn_worker(SCALE_N, BENCH_CONVS)
+            hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS)
+            probes.append(hp)
+            los.append(lo)
+            his.append(hi)
+            ladder.append(
+                {
+                    "pair": len(ladder) + 1,
+                    "host_probe_eff": hp["efficiency_n_to_4n"],
+                    f"pts_per_sec_local{SCALE_N}": lo["points_per_sec"],
+                    f"pts_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
+                    "pair_efficiency": round(
+                        hi["points_per_sec"] / lo["points_per_sec"] / 4.0, 3
+                    ),
+                }
+            )
 
         def _avg(rs):
             return sum(r["points_per_sec"] for r in rs) / len(rs)
@@ -312,10 +415,12 @@ def main() -> None:
             v = [r["points_per_sec"] for r in rs]
             return max(v) / min(v)
 
+        for _ in range(SCALE_PAIRS):
+            _run_pair()
         if _spread(los) > 1.35 or _spread(his) > 1.35:
-            los.append(_spawn_worker(SCALE_N, BENCH_CONVS))
-            his.append(_spawn_worker(4 * SCALE_N, BENCH_CONVS))
+            _run_pair()  # one extra alternation on a wild window
         eff = (_avg(his) / _avg(los)) / 4.0
+        host_eff = sum(p["efficiency_n_to_4n"] for p in probes) / len(probes)
         lo = dict(max(los, key=lambda r: r["points_per_sec"]))
         hi = dict(max(his, key=lambda r: r["points_per_sec"]))
         lo["points_per_sec"] = round(_avg(los), 1)
@@ -326,7 +431,7 @@ def main() -> None:
         hi["turns_per_sec"] = round(
             sum(r["turns_per_sec"] for r in his) / len(his), 1
         )
-        scaling = (lo, hi, eff, len(los))
+        scaling = (lo, hi, eff, host_eff, ladder)
 
     spark = _build(CPUS)
     # Warm up codegen + Python workers once so the first measured query
@@ -355,10 +460,17 @@ def main() -> None:
         # Same warmup + best-of-2 protocol as the pipeline metric.
         for _ in range(2):
             t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            # LSH/candidate queries persist intermediates for their
+            # self-joins; drop them so 2 reps x 14 queries don't pile
+            # cached blocks into executor storage (ADVICE r02)
+            release_caches(df)
         times[name] = round(best, 3)
         total += times[name]
+
+    compressed = pipeline_compressed_bench(spark)
     spark.stop()
 
     result = {
@@ -369,26 +481,27 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "gorilla_codec": gorilla_codec_bench(),
+        "pipeline_compressed": compressed,
     }
 
     if scaling is not None:
-        # Guard (kept from round 1): if the pair looks degenerate,
-        # re-measure once and keep each config's best throughput across
-        # attempts — that reflects the code's scaling, not the host's
-        # noisy-neighbor window. Attempts are reported so a retried
-        # result is visible; host_probe calibrates the host itself.
-        lo, hi, eff, attempts = scaling
+        lo, hi, eff, host_eff, ladder = scaling
         result["pipeline"] = hi
         result["scaling"] = {
             "convs": BENCH_CONVS,
             "n": SCALE_N,
-            "attempts": attempts,
-            "host_probe": host_probe(SCALE_N),
+            "attempts": len(ladder),
+            "ladder": ladder,
             f"throughput_points_per_sec_local{SCALE_N}": lo["points_per_sec"],
             f"throughput_points_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
             f"turns_per_sec_local{SCALE_N}": lo["turns_per_sec"],
             f"turns_per_sec_local{4 * SCALE_N}": hi["turns_per_sec"],
             "efficiency_n_to_4n": round(eff, 3),
+            # the host's own N->4N ceiling for the same windows (spin
+            # probe, Spark-free): engine efficiency divided by it says
+            # how much of the achievable scaling the engine captured
+            "host_efficiency_same_windows": round(host_eff, 3),
+            "efficiency_vs_host_ceiling": round(eff / host_eff, 3),
         }
 
     print(json.dumps(result))
