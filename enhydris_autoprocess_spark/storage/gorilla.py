@@ -517,6 +517,181 @@ def _decode_chunk_v2(blob: bytes, n: int, t0: int) -> tuple[np.ndarray, np.ndarr
     return ts, bits.view(np.float64)
 
 
+def _seg_starts_from_counts(counts: np.ndarray) -> np.ndarray:
+    return np.r_[0, np.cumsum(counts)[:-1]]
+
+
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    return np.arange(total) - np.repeat(_seg_starts_from_counts(counts), counts)
+
+
+def _seg_cumsum_exclusive(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment exclusive prefix sum, vectorized: global cumsum minus
+    the segment-start correction."""
+    g = np.cumsum(vals)
+    starts = _seg_starts_from_counts(counts)
+    base = np.where(starts > 0, g[starts - 1], 0)
+    return g - vals - np.repeat(base, counts)
+
+
+def decode_chunks_batch(
+    blobs: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blobs in one segmented-vectorized pass; returns
+    (ts, values, counts) concatenated in input order.
+
+    The per-chunk ``_decode_chunk_v2`` is ~40 numpy calls regardless of
+    chunk size — fine for 4096-point archive chunks, but tier series
+    with short keys produce small blobs where that fixed cost dominates
+    (measured 0.16M pts/s through Spark on ~250-point blobs). Here all
+    blobs' streams decode together: per-stream field offsets become
+    segmented aranges/cumsums over the concatenated word buffer, and
+    the two sequential chains use a GLOBAL scan plus per-segment
+    correction — cumsum minus the segment-start prefix for timestamps,
+    ``bitwise_xor.accumulate`` XOR the pre-segment accumulator for
+    values (XOR scans are invertible, so the global scan restricted to
+    a segment differs from the per-segment scan only by the constant
+    prefix). Legacy v1 blobs fall back to the per-chunk decoder.
+    """
+    k = len(blobs)
+    if k == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+            np.empty(0, np.int64),
+        )
+    metas = [struct.unpack_from("<IqI", b, 0) for b in blobs]
+    counts = np.array([m[0] for m in metas], dtype=np.int64)
+    out_ts = np.empty(int(counts.sum()), dtype=np.int64)
+    out_v = np.empty(int(counts.sum()), dtype=np.float64)
+    out_starts = _seg_starts_from_counts(counts)
+
+    v2 = np.array([m[2] == 1 for m in metas])
+    for i in np.flatnonzero(~v2):  # legacy blobs: per-chunk decode
+        t, v = decode_chunk(blobs[i])
+        out_ts[out_starts[i] : out_starts[i] + counts[i]] = t
+        out_v[out_starts[i] : out_starts[i] + counts[i]] = v
+    idx = np.flatnonzero(v2)
+    if not len(idx):
+        return out_ts, out_v, counts
+
+    # concatenated word buffer; each blob keeps its own >=1 guard word
+    # (from _stream_words padding), so cross-blob j+1 reads stay inside
+    # the owning blob's padded region
+    word_chunks = [_stream_words(blobs[i]) for i in idx]
+    word_base = np.r_[0, np.cumsum([len(w) for w in word_chunks])[:-1]]
+    words = np.concatenate(word_chunks)
+    base_bits = (word_base * 64).astype(np.int64)
+
+    n = counts[idx]
+    t0 = np.array([metas[i][1] for i in idx], dtype=np.int64)
+
+    # --- timestamp streams ------------------------------------------------
+    has_fd = n > 1
+    fd = np.zeros(len(idx), dtype=np.int64)
+    if has_fd.any():
+        fd[has_fd] = _unpack_fields(
+            words,
+            base_bits[has_fd],
+            np.full(int(has_fd.sum()), 64, dtype=np.int64),
+        ).astype(np.int64)
+    pos = base_bits + 64 * has_fd  # per-blob cursor after first_delta
+
+    ncls = np.maximum(n - 2, 0)
+    total_cls = int(ncls.sum())
+    dods = np.zeros(total_cls, dtype=np.int64)
+    cls_blob = np.repeat(np.arange(len(idx)), ncls)
+    if total_cls:
+        cls = _unpack_fields(
+            words,
+            pos[cls_blob] + 2 * _seg_arange(ncls),
+            np.full(total_cls, 2, dtype=np.int64),
+        ).astype(np.int64)
+        pos = pos + 2 * ncls
+        pw = _DOD_PAYLOAD_W[cls]
+        pay_off = _seg_cumsum_exclusive(pw, ncls)
+        pay = _unpack_fields(words, pos[cls_blob] + pay_off, pw)
+        pw_sum = np.zeros(len(idx), dtype=np.int64)
+        np.add.at(pw_sum, cls_blob, pw)
+        pos = pos + pw_sum
+        unzig = (
+            (pay >> np.uint64(1)) ^ (np.uint64(0) - (pay & np.uint64(1)))
+        ).view(np.int64)
+        dods = np.where(cls == 3, pay.view(np.int64), unzig)
+        dods[cls == 0] = 0
+
+    # deltas per blob = fd + [0, cumsum(dods)]; ts = t0 + [0, cumsum(deltas)]
+    nb = np.maximum(n - 1, 0)
+    deltas = np.repeat(fd, nb)
+    if total_cls:
+        # positions of the dod-driven part: within each blob's nb slots,
+        # slots 1.. carry the running dod sum
+        nb_starts = _seg_starts_from_counts(nb)
+        dod_cum = _seg_cumsum_exclusive(dods, ncls) + dods  # inclusive
+        tgt = np.repeat(nb_starts[ncls > 0], ncls[ncls > 0]) + 1 + _seg_arange(ncls)
+        deltas[tgt] += dod_cum
+    ts_flat = np.repeat(t0, n)
+    if nb.sum():
+        delta_cum = _seg_cumsum_exclusive(deltas, nb) + deltas  # inclusive
+        n_starts = _seg_starts_from_counts(n)
+        tgt = np.repeat(n_starts[nb > 0], nb[nb > 0]) + 1 + _seg_arange(nb)
+        ts_flat[tgt] += delta_cum
+
+    # --- value streams ----------------------------------------------------
+    v0 = _unpack_fields(words, pos, np.full(len(idx), 64, dtype=np.int64))
+    pos = pos + 64
+    nb_blob = np.repeat(np.arange(len(idx)), nb)
+    total_nb = int(nb.sum())
+    xors = np.zeros(total_nb, dtype=np.uint64)
+    if total_nb:
+        ctrl = _unpack_fields(
+            words,
+            pos[nb_blob] + _seg_arange(nb),
+            np.ones(total_nb, dtype=np.int64),
+        ).astype(bool)
+        pos = pos + nb
+        nnz = np.zeros(len(idx), dtype=np.int64)
+        np.add.at(nnz, nb_blob[ctrl], 1)
+        total_nnz = int(nnz.sum())
+        if total_nnz:
+            nz_blob = nb_blob[ctrl]
+            ls = _unpack_fields(
+                words,
+                pos[nz_blob] + 11 * _seg_arange(nnz),
+                np.full(total_nnz, 11, dtype=np.int64),
+            )
+            pos = pos + 11 * nnz
+            lead = (ls >> np.uint64(6)).astype(np.int64)
+            sig6 = (ls & np.uint64(0x3F)).astype(np.int64)
+            sig = np.where(sig6 == 0, 64, sig6)
+            pay_off = _seg_cumsum_exclusive(sig, nnz)
+            pay = _unpack_fields(words, pos[nz_blob] + pay_off, sig)
+            xors[ctrl] = pay << (64 - lead - sig).astype(np.uint64)
+    # full bit stream per blob: [v0, xors...]; global xor-scan + fixup
+    full = np.empty(int(n.sum()), dtype=np.uint64)
+    n_starts = _seg_starts_from_counts(n)
+    full[n_starts] = v0
+    if total_nb:
+        tgt = np.repeat(n_starts[nb > 0], nb[nb > 0]) + 1 + _seg_arange(nb)
+        full[tgt] = xors
+    g = np.bitwise_xor.accumulate(full)
+    fix = np.zeros(len(idx), dtype=np.uint64)
+    fix[1:] = g[n_starts[1:] - 1]
+    vals_flat = g ^ np.repeat(fix, n)
+
+    # scatter the v2 segments back into input order
+    v2_out_starts = out_starts[idx]
+    src = 0
+    for b, cnt in enumerate(n):
+        o = v2_out_starts[b]
+        out_ts[o : o + cnt] = ts_flat[src : src + cnt]
+        out_v[o : o + cnt] = vals_flat[src : src + cnt].view(np.float64)
+        src += cnt
+    return out_ts, out_v, counts
+
+
 def decode_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     n, t0, flags = struct.unpack_from("<IqI", blob, 0)
     if flags == 1:
@@ -574,65 +749,104 @@ def compress_series(
     value_col: str = "value",
     flags_col: str | None = None,
     chunk: int = CHUNK,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(key, ts, value[, flags]) -> (key, chunk_start_us, n, blob[, flags]).
 
-    applyInPandas per key; rows inside are sorted and chunked.
-    Timestamps+values go into the Gorilla blob; flags (strings — not
-    Gorilla material) ride along as one array<string> per chunk, where
-    an all-empty chunk stores NULL instead of 4096 empty strings, so
-    the common unflagged case costs nothing. Tier storage stays
-    lossless: decompress zips them back positionally.
+    One shuffle on the key, then ``mapInPandas`` over (key, ts)-sorted
+    partitions with Arrow batches re-split on key boundaries (the
+    fill_stream pattern from gap-fill) — the earlier per-key
+    ``applyInPandas`` spent ~5 ms of group bookkeeping per key, which
+    dominated tier tables with many short keys. Timestamps+values go
+    into the Gorilla blob; flags (strings — not Gorilla material) ride
+    along as one array<string> per chunk, where an all-empty chunk
+    stores NULL instead of 4096 empty strings, so the common unflagged
+    case costs nothing. Tier storage stays lossless: decompress zips
+    them back positionally.
     """
     with_flags = flags_col is not None
+    cols = ["key", "chunk_start_us", "n", "blob"] + (
+        ["flags"] if with_flags else []
+    )
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
-        fl = pdf[flags_col].tolist() if with_flags else None
-        key = pdf[key_col].iloc[0]
-        out = []
-        for (start, n, blob), i in zip(
-            encode_chunks_batch(ts, vals, chunk), range(0, len(ts), chunk)
-        ):
-            row = [key, start, n, blob]
-            if with_flags:
-                chunk_fl = fl[i : i + n]
-                row.append(chunk_fl if any(chunk_fl) else None)
-            out.append(tuple(row))
-        cols = ["key", "chunk_start_us", "n", "blob"] + (
-            ["flags"] if with_flags else []
-        )
-        return pd.DataFrame(out, columns=cols)
+    def enc_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key_col].to_numpy(dtype=object)
+        bounds = np.r_[
+            0, np.flatnonzero(keys[1:] != keys[:-1]) + 1, len(keys)
+        ]
+        ts_all = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vals_all = pdf[value_col].to_numpy(dtype=np.float64)
+        fl_all = pdf[flags_col].tolist() if with_flags else None
+        rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            for (start, n, blob), j in zip(
+                encode_chunks_batch(ts_all[lo:hi], vals_all[lo:hi], chunk),
+                range(lo, hi, chunk),
+            ):
+                row = [keys[lo], start, n, blob]
+                if with_flags:
+                    chunk_fl = fl_all[j : j + n]
+                    row.append(chunk_fl if any(chunk_fl) else None)
+                rows.append(tuple(row))
+        return pd.DataFrame(rows, columns=cols)
+
+    def enc_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # hold back the possibly-incomplete last key of each Arrow batch
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy(dtype=object)
+            cut = len(pdf) - int((keys == keys[-1]).sum())
+            head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(head):
+                yield enc_block(head)
+        if tail is not None and len(tail):
+            yield enc_block(tail)
 
     schema = COMPRESSED_SCHEMA + (", flags array<string>" if with_flags else "")
-    cols = [key_col, ts_col, value_col] + ([flags_col] if with_flags else [])
-    return df.select(*cols).groupBy(key_col).applyInPandas(enc, schema=schema)
+    in_cols = [key_col, ts_col, value_col] + ([flags_col] if with_flags else [])
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(*in_cols)
+        .repartition(n_parts, key_col)
+        .sortWithinPartitions(key_col, ts_col)
+        .mapInPandas(enc_stream, schema=schema)
+    )
 
 
 def decompress_series(df: DataFrame) -> DataFrame:
-    """(key, chunk_start_us, n, blob[, flags]) -> (key, ts, value[, flags])."""
+    """(key, chunk_start_us, n, blob[, flags]) -> (key, ts, value[, flags]).
+
+    All of an Arrow batch's blobs decode in ONE segmented-vectorized
+    pass (``decode_chunks_batch``) — per-blob decode paid ~40 numpy
+    calls of fixed cost per blob, which dominated tiers whose keys are
+    shorter than the 4096-point chunk size."""
     with_flags = "flags" in df.columns
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            frames = []
-            flags_iter = b["flags"] if with_flags else [None] * len(b)
-            for key, blob, fl in zip(b["key"], b["blob"], flags_iter):
-                ts, vals = decode_chunk(bytes(blob))
-                d = {
-                    "key": key,
-                    "ts": pd.to_datetime(ts, unit="us"),
-                    "value": vals,
-                }
-                if with_flags:
-                    d["flags"] = (
-                        list(fl) if fl is not None else [""] * len(ts)
-                    )
-                frames.append(pd.DataFrame(d))
-            if frames:
-                yield pd.concat(frames)
+            if not len(b):
+                continue
+            ts, vals, counts = decode_chunks_batch(
+                [bytes(x) for x in b["blob"]]
+            )
+            d = {
+                "key": np.repeat(b["key"].to_numpy(dtype=object), counts),
+                "ts": pd.to_datetime(ts, unit="us"),
+                "value": vals,
+            }
+            if with_flags:
+                fl = np.empty(len(ts), dtype=object)
+                pos = 0
+                for f, c in zip(b["flags"], counts):
+                    fl[pos : pos + c] = list(f) if f is not None else ""
+                    pos += c
+                d["flags"] = fl
+            yield pd.DataFrame(d)
 
     schema = "key string, ts timestamp, value double" + (
         ", flags string" if with_flags else ""

@@ -418,3 +418,73 @@ def test_hot_key_chunking_identical_output(spark, transcripts, tmp_path):
         .count()
     )
     assert spans > 0, "fixture has no hot key; raise conv lengths"
+
+
+def test_gorilla_batch_decode_matches_per_chunk():
+    """decode_chunks_batch (segmented-vectorized, many blobs per call)
+    must reproduce decode_chunk exactly, including mixed v1/v2 blobs,
+    tiny chunks, NaNs and n=1/2 edge blobs."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.storage.gorilla import (
+        decode_chunk,
+        decode_chunks_batch,
+        encode_chunk,
+        encode_chunk_fast,
+    )
+
+    rng = np.random.RandomState(21)
+    blobs = []
+    expect = []
+    for i in range(60):
+        n = int(rng.choice([1, 2, 3, 7, 50, 251]))
+        gaps = rng.exponential(5e7, size=n).astype(np.int64) + 1
+        ts = np.cumsum(gaps) + 1_700_000_000_000_000 + i
+        vals = rng.randn(n)
+        vals[rng.rand(n) < 0.15] = np.nan
+        enc = encode_chunk if i % 5 == 0 else encode_chunk_fast  # mix v1/v2
+        blob = enc(ts, vals)
+        blobs.append(blob)
+        expect.append(decode_chunk(blob))
+    ts_all, v_all, counts = decode_chunks_batch(blobs)
+    assert counts.tolist() == [len(t) for t, _ in expect]
+    pos = 0
+    for t, v in expect:
+        assert np.array_equal(ts_all[pos : pos + len(t)], t)
+        assert np.array_equal(
+            v_all[pos : pos + len(v)].view(np.uint64), v.view(np.uint64)
+        )
+        pos += len(v)
+
+
+def test_compress_series_stream_path(spark):
+    """compress_series now runs one shuffle + mapInPandas (no per-key
+    applyInPandas): round-trip with flags across many short keys, and
+    the executed plan must show no Join and a single Exchange."""
+    import numpy as np
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.RandomState(2)
+    for k in range(50):  # many short keys — the case the rework targets
+        minutes = rng.choice(5000, size=int(rng.randint(2, 40)), replace=False)
+        for m in sorted(minutes.tolist()):
+            rows.append(
+                (
+                    f"k{k:03d}",
+                    t0 + dt.timedelta(minutes=int(m)),
+                    float(np.round(rng.randn(), 3)),
+                    "F" if rng.rand() < 0.1 else "",
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, flags string"
+    )
+    comp = compress_series(df, flags_col="flags")
+    p = comp._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
+    back = decompress_series(comp)
+    a = {(r.key, r.ts, round(r.value, 9), r.flags) for r in df.collect()}
+    b = {(r.key, r.ts, round(r.value, 9), r.flags) for r in back.collect()}
+    assert a == b
