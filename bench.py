@@ -278,9 +278,14 @@ def run_rollup_job(spark, n_convs: int) -> dict:
         if _os.path.isdir("/dev/shm")
         else "/tmp/spark-bench-input"
     )
-    generate_transcripts_jvm(spark, n_convs=n_convs, seed=42).write.mode(
-        "overwrite"
-    ).parquet(input_dir)
+    # Reuse a pre-generated input (the main process writes it ONCE at
+    # full parallelism — every scaling worker reads the same seeded
+    # table, and generating 28M rows on the local[4] leg wasted ~2 min
+    # per worker); fall back to generating here for standalone use.
+    if not _os.path.exists(_os.path.join(input_dir, "_SUCCESS")):
+        generate_transcripts_jvm(spark, n_convs=n_convs, seed=42).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
     transcripts = spark.read.parquet(input_dir)
     n_turns = transcripts.count()  # metadata count, outside the timed window
 
@@ -349,10 +354,8 @@ def _worker(cpus: int, n_convs: int) -> None:
     spark = _build(cpus)
     out = run_rollup_job(spark, n_convs)
     spark.stop()
-    import shutil
-
-    for d in ("/dev/shm/spark-bench-input", "/tmp/spark-bench-input"):
-        shutil.rmtree(d, ignore_errors=True)  # don't leave GBs on tmpfs
+    # input cleanup happens in the parent after the LAST worker (the
+    # pre-generated table is shared across all scaling legs)
     print("WORKER_RESULT " + json.dumps(out))
 
 
@@ -439,6 +442,24 @@ def main() -> None:
         # JSON so the selection is fully auditable. Extra pairs run
         # until >= 2 clean ones exist (cap 6 total).
         HOST_CLEAN = 0.8
+
+        # pre-generate the shared scaling input ONCE at full
+        # parallelism; workers reuse it (seeded => identical)
+        import shutil
+
+        from enhydris_autoprocess_spark.synth import generate_transcripts_jvm
+
+        gen_dir = (
+            "/dev/shm/spark-bench-input"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/spark-bench-input"
+        )
+        gen_spark = _build(CPUS)
+        generate_transcripts_jvm(
+            gen_spark, n_convs=BENCH_CONVS, seed=42
+        ).write.mode("overwrite").parquet(gen_dir)
+        gen_spark.stop()
+
         for _ in range(SCALE_PAIRS):
             _run_pair()
         if _spread(los) > 1.35 or _spread(his) > 1.35:
@@ -453,6 +474,8 @@ def main() -> None:
 
         while len(_clean_ids()) < 2 and len(probes) < 6:
             _run_pair()
+        for d in ("/dev/shm/spark-bench-input", "/tmp/spark-bench-input"):
+            shutil.rmtree(d, ignore_errors=True)  # don't leave GBs on tmpfs
         clean = _clean_ids() or list(range(len(probes)))
         eff_all = (_avg(his) / _avg(los)) / 4.0
         los_c = [los[i] for i in clean]
