@@ -40,7 +40,9 @@ from enhydris_autoprocess_spark.operators import (
     range_check,
     rate_of_change_check,
     regularize,
+    sessionize,
 )
+from enhydris_autoprocess_spark.rollup import quantile_rollup
 from enhydris_autoprocess_spark.operators.aggregate import (
     aggregate_step,
     source_end_frame,
@@ -264,6 +266,41 @@ def q_tier_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t1d
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization of each user's event stream —
+    conversation-session detection over the transcript-shaped table
+    (operators/session.py)."""
+    out = sessionize(
+        _events(spark, sf_dir).select("user_id", "ts", "value"),
+        gap_seconds=1800,
+        key_col="user_id",
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        round6(F.col("value_sum")).alias("value_sum"),
+    )
+
+
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact p50/p95 of the value channel (rollup.py
+    quantile_rollup; Spark exact percentile == ANSI percentile_cont ==
+    DuckDB quantile_cont, round6 both sides)."""
+    out = quantile_rollup(
+        _events(spark, sf_dir).select("user_id", "value"),
+        key_cols=("user_id",),
+    )
+    return out.select(
+        "user_id",
+        "n",
+        round6(F.col("p50")).alias("p50"),
+        round6(F.col("p95")).alias("p95"),
+    )
+
+
 # --- training-data ops --------------------------------------------------------
 
 
@@ -454,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_10min": q_gapfill_10min,
         "rollup_hourly": q_rollup_hourly,
         "tier_1d_from_1h": q_tier_1d_from_1h,
+        "sessionize": q_sessionize,
+        "quantile_rollup": q_quantile_rollup,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -617,6 +656,33 @@ def oracle_sql() -> dict[str, str]:
               floor(sum(value) * 1000000 + 0.5) / 1000000 AS value_sum,
               min(value) AS value_min, max(value) AS value_max
             FROM b GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH w AS (
+              SELECT user_id, value, epoch_us(ts) AS us,
+                CASE WHEN lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM w)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+              make_timestamp(min(us)) AS session_start,
+              make_timestamp(max(us)) AS session_end,
+              count(*) AS n_events,
+              floor(sum(value) * 1000000 + 0.5) / 1000000 AS value_sum
+            FROM s GROUP BY 1, 2
+        """,
+        "quantile_rollup": """
+            SELECT user_id, count(*) AS n,
+              floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+              floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95
+            FROM events GROUP BY 1
         """,
         "dedup_exact": r"""
             WITH h AS (

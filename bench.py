@@ -55,6 +55,8 @@ HEADLINE = [
     "gapfill_10min",
     "rollup_hourly",
     "tier_1d_from_1h",
+    "sessionize",
+    "quantile_rollup",
     "dedup_exact",
     "minhash_dedup",
     "simhash_dedup",

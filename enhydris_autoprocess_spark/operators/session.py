@@ -1,0 +1,63 @@
+"""Sessionization: split each key's event stream into sessions at
+inactivity gaps (no reference analog — the reference processes
+continuous sensor series; transcript analytics needs conversation
+sessions, so this is a target-domain extension like the textops).
+
+Spark-first shape: one window sort on (key, ts) computes the
+new-session marker (``lag`` + gap compare) and the running session
+ordinal (cumulative sum over the same sort), then one partial+final
+hash aggregation per (key, session). Both steps share a single
+exchange on the key; the aggregation's map-side combine absorbs hot
+keys, so the only skew-sensitive stage is the window sort — the same
+profile as the rate-of-change check, and the same time-chunking trick
+would apply if a key's stream outgrew a task (a session that CROSSES
+a chunk boundary needs the halo to carry the previous event, which
+the lookback-only halo provides).
+
+Duplicate timestamps are safe: a zero gap is never a session break,
+and the running sum gives equal-ts rows the same session id in any
+tie order, so the output is deterministic without a tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schema import ts_micros
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Group events into per-key sessions separated by more than
+    ``gap_seconds`` of inactivity.
+
+    Output: key, session_id (1-based per key, ordered by time),
+    session_start, session_end, n_events, value_sum.
+    """
+    us = ts_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us)
+    gap_us = gap_seconds * 1_000_000
+    prev = F.lag(us).over(w)
+    new_session = (prev.isNull() | ((us - prev) > F.lit(gap_us))).cast("int")
+    run = Window.partitionBy(key_col).orderBy(us).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        df.withColumn("__us", us)
+        .withColumn("__sid", F.sum(new_session).over(run))
+    )
+    return (
+        sess.groupBy(key_col, F.col("__sid").cast("long").alias("session_id"))
+        .agg(
+            F.timestamp_micros(F.min("__us")).alias("session_start"),
+            F.timestamp_micros(F.max("__us")).alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+    )

@@ -106,6 +106,37 @@ def with_rates(tier: DataFrame) -> DataFrame:
     )
 
 
+def quantile_rollup(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """EXACT interpolated per-key quantiles (plus count) — the
+    percentile stats a text-length distribution report needs where
+    min/max/sum don't suffice.
+
+    Uses Spark's exact ``percentile`` aggregate (linear interpolation
+    at rank (n-1)*q, the same definition as ANSI
+    ``percentile_cont``/DuckDB ``quantile_cont``, so results
+    cross-check bit-for-bit after round6). Exact quantiles buffer each
+    group's values — fine for per-key groups (a key's events fit a
+    task by the same assumption every per-key window here makes). For
+    quantiles OVER ALL 10^12 rows use ``approx_percentile`` instead:
+    t-digest-style mergeable sketches, partial+final, no buffering —
+    kept out of the oracle gate because approximate results can't
+    hash-match an exact oracle.
+    """
+    arr = F.expr(
+        f"percentile({value_col}, array({', '.join(repr(q) + 'D' for q in quantiles)}))"
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, q in enumerate(quantiles):
+        name = f"p{int(q * 100)}" if (q * 100) % 1 == 0 else f"p{q}"
+        aggs.append(F.element_at(arr, i + 1).alias(name))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
 def build_tiers(transcripts: DataFrame) -> dict[str, DataFrame]:
     """1min directly; 1h from 1min; 1d from 1h."""
     t1min = rollup_transcripts(transcripts, "1min")

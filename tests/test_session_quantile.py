@@ -1,0 +1,84 @@
+"""Sessionization + quantile rollup operators (target-domain
+extensions; driver-oracle-checked via __spark_entry__)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from enhydris_autoprocess_spark.operators import sessionize
+from enhydris_autoprocess_spark.rollup import quantile_rollup
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, spec):
+    """spec: [(key, minute, value), ...]"""
+    rows = [
+        (k, T0 + dt.timedelta(minutes=m), float(v)) for k, m, v in spec
+    ]
+    return spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+
+def test_sessionize_golden(spark):
+    df = _events(
+        spark,
+        [
+            # key a: two sessions split by a 45-min gap
+            ("a", 0, 1.0),
+            ("a", 10, 2.0),
+            ("a", 20, 3.0),
+            ("a", 65, 4.0),
+            ("a", 70, 5.0),
+            # key b: one single-event session
+            ("b", 0, 9.0),
+        ],
+    )
+    out = {
+        (r.key, r.session_id): r
+        for r in sessionize(df, gap_seconds=1800, key_col="key").collect()
+    }
+    assert set(out) == {("a", 1), ("a", 2), ("b", 1)}
+    s1 = out[("a", 1)]
+    assert s1.n_events == 3 and s1.value_sum == 6.0
+    assert s1.session_start == T0 and s1.session_end == T0 + dt.timedelta(minutes=20)
+    s2 = out[("a", 2)]
+    assert s2.n_events == 2 and s2.value_sum == 9.0
+    assert s2.session_start == T0 + dt.timedelta(minutes=65)
+    b1 = out[("b", 1)]
+    assert b1.n_events == 1 and b1.session_start == b1.session_end
+
+
+def test_sessionize_exact_gap_boundary_and_duplicates(spark):
+    # gap EXACTLY equal to the threshold does not split; duplicate
+    # timestamps land in the same session deterministically
+    df = _events(spark, [("k", 0, 1.0), ("k", 30, 1.0), ("k", 30, 2.0), ("k", 61, 1.0)])
+    out = sessionize(df, gap_seconds=1800, key_col="key").collect()
+    by_sid = {r.session_id: r for r in out}
+    assert len(by_sid) == 2
+    assert by_sid[1].n_events == 3  # 0, 30, 30 (exact 30-min gap keeps)
+    assert by_sid[2].n_events == 1  # 61 is 31 min after 30 -> new session
+
+
+def test_sessionize_single_exchange(spark):
+    """The window sort and the (key, session) aggregation share one
+    hash partitioning on the key — partitioning on a subset of the
+    grouping keys satisfies the aggregation's distribution, so no
+    second shuffle may appear."""
+    df = _events(spark, [("k", i, 1.0) for i in range(32)])
+    out = sessionize(df, gap_seconds=600, key_col="key")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+
+
+def test_quantile_rollup_golden(spark):
+    df = _events(
+        spark,
+        [("a", i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+        + [("b", 0, 10.0)],
+    )
+    out = {r.key: r for r in quantile_rollup(df, ("key",)).collect()}
+    # p50 of [1,2,3,4]: rank (4-1)*0.5 = 1.5 -> 2.5 interpolated
+    assert out["a"].n == 4 and out["a"].p50 == 2.5
+    # p95: rank 2.85 -> 3 + 0.85*(4-3) = 3.85
+    assert abs(out["a"].p95 - 3.85) < 1e-12
+    assert out["b"].n == 1 and out["b"].p50 == 10.0 and out["b"].p95 == 10.0
