@@ -409,16 +409,26 @@ def main() -> None:
         los, his, probes, ladder = [], [], [], []
 
         def _run_pair():
-            hp = host_probe(SCALE_N)
+            # probe BOTH edges of the pair (the legs take minutes; a
+            # single pre-pair probe can miss a throttle that starts
+            # mid-leg) and use the mean as the pair's window ceiling
+            hp_a = host_probe(SCALE_N)
             lo = _spawn_worker(SCALE_N, BENCH_CONVS)
             hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS)
-            probes.append(hp)
+            hp_b = host_probe(SCALE_N)
+            hp_eff = round(
+                (hp_a["efficiency_n_to_4n"] + hp_b["efficiency_n_to_4n"]) / 2,
+                3,
+            )
+            probes.append({"efficiency_n_to_4n": hp_eff})
             los.append(lo)
             his.append(hi)
             ladder.append(
                 {
                     "pair": len(ladder) + 1,
-                    "host_probe_eff": hp["efficiency_n_to_4n"],
+                    "host_probe_eff": hp_eff,
+                    "host_probe_pre": hp_a["efficiency_n_to_4n"],
+                    "host_probe_post": hp_b["efficiency_n_to_4n"],
                     f"pts_per_sec_local{SCALE_N}": lo["points_per_sec"],
                     f"pts_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
                     "pair_efficiency": round(
@@ -438,12 +448,16 @@ def main() -> None:
         # < 3.2x the throughput of 4 — pure CPU, no Spark) measures the
         # host's steal/contention, not the engine: no engine can show
         # 0.8 N->4N while the hardware shows 0.5 (observed probes as
-        # low as 0.52 on this burstable host). The headline efficiency
-        # therefore averages the HOST-CLEAN pairs (probe >= 0.8); the
-        # all-pairs number, every pair, and every probe stay in the
-        # JSON so the selection is fully auditable. Extra pairs run
-        # until >= 2 clean ones exist (cap 6 total).
-        HOST_CLEAN = 0.8
+        # low as 0.52 on this burstable host). The gate is BOUNDED on
+        # both sides: a probe ABOVE ~1.05 means the window sped up
+        # mid-pair (observed 1.27 — turbo/credit refill between the
+        # probe's two halves), which inflates pair efficiency just as
+        # dishonestly as a throttle deflates it. The headline
+        # efficiency averages the HOST-CLEAN pairs (0.8 <= probe <=
+        # 1.05); the all-pairs number, every pair, and every probe
+        # stay in the JSON so the selection is fully auditable. Extra
+        # pairs run until >= 2 clean ones exist (cap 6 total).
+        HOST_CLEAN_LO, HOST_CLEAN_HI = 0.8, 1.05
 
         # pre-generate the shared scaling input ONCE at full
         # parallelism; workers reuse it (seeded => identical)
@@ -462,22 +476,29 @@ def main() -> None:
         ).write.mode("overwrite").parquet(gen_dir)
         gen_spark.stop()
 
-        for _ in range(SCALE_PAIRS):
-            _run_pair()
-        if _spread(los) > 1.35 or _spread(his) > 1.35:
-            _run_pair()  # one extra alternation on a wild window
-
         def _clean_ids():
             return [
                 i
                 for i, p in enumerate(probes)
-                if p["efficiency_n_to_4n"] >= HOST_CLEAN
+                if HOST_CLEAN_LO <= p["efficiency_n_to_4n"] <= HOST_CLEAN_HI
             ]
 
-        while len(_clean_ids()) < 2 and len(probes) < 6:
-            _run_pair()
-        for d in ("/dev/shm/spark-bench-input", "/tmp/spark-bench-input"):
-            shutil.rmtree(d, ignore_errors=True)  # don't leave GBs on tmpfs
+        try:
+            for _ in range(SCALE_PAIRS):
+                _run_pair()
+            if _spread(los) > 1.35 or _spread(his) > 1.35:
+                _run_pair()  # one extra alternation on a wild window
+            while len(_clean_ids()) < 2 and len(probes) < 6:
+                _run_pair()
+        finally:
+            # a failed/timed-out worker must not strand 28M rows of
+            # parquet (or a dead JVM's shuffle spills) on tmpfs (RAM)
+            for d in (
+                "/dev/shm/spark-bench-input",
+                "/tmp/spark-bench-input",
+                "/dev/shm/spark-bench-tmp",
+            ):
+                shutil.rmtree(d, ignore_errors=True)
         clean = _clean_ids() or list(range(len(probes)))
         eff_all = (_avg(his) / _avg(los)) / 4.0
         los_c = [los[i] for i in clean]
@@ -535,6 +556,9 @@ def main() -> None:
 
     compressed = pipeline_compressed_bench(spark)
     spark.stop()
+    import shutil as _shutil
+
+    _shutil.rmtree("/dev/shm/spark-bench-tmp", ignore_errors=True)
 
     result = {
         "metric": "headline_queries_total",
@@ -560,7 +584,7 @@ def main() -> None:
             # unfiltered all-pairs number and the full ladder make the
             # selection auditable
             "pairs_used": [i + 1 for i in clean],
-            "host_clean_threshold": 0.8,
+            "host_clean_band": [0.8, 1.05],
             f"throughput_points_per_sec_local{SCALE_N}": lo["points_per_sec"],
             f"throughput_points_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
             f"turns_per_sec_local{SCALE_N}": lo["turns_per_sec"],

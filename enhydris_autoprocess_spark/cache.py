@@ -37,11 +37,16 @@ def carry_caches(out: DataFrame, *frames: DataFrame) -> DataFrame:
 
 def release_caches(df: DataFrame) -> None:
     """Unpersist every cached intermediate attached to ``df`` (no-op
-    for frames without any)."""
+    for frames without any). Skips only deps whose session is already
+    stopped (nothing left to release there); real unpersist failures
+    propagate — swallowing them would silently reintroduce the leak
+    this module exists to prevent."""
     for dep in getattr(df, _ATTR, []):
         try:
-            dep.unpersist()
+            alive = dep.sparkSession._sc._jsc is not None
         except Exception:
-            pass  # session already stopped — nothing to release
+            alive = False
+        if alive:
+            dep.unpersist()
     if hasattr(df, _ATTR):
         setattr(df, _ATTR, [])

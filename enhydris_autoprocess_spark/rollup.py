@@ -132,7 +132,9 @@ def quantile_rollup(
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for i, q in enumerate(quantiles):
-        name = f"p{int(q * 100)}" if (q * 100) % 1 == 0 else f"p{q}"
+        # p50 / p95 / p12_5 — never a '.' in the name (a dotted column
+        # name parses as struct access in later F.col references)
+        name = ("p%g" % (q * 100)).replace(".", "_")
         aggs.append(F.element_at(arr, i + 1).alias(name))
     return df.groupBy(*key_cols).agg(*aggs)
 

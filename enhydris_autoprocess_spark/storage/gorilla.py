@@ -792,20 +792,36 @@ def compress_series(
         return pd.DataFrame(rows, columns=cols)
 
     def enc_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # hold back the possibly-incomplete last key of each Arrow batch
-        tail: pd.DataFrame | None = None
+        # Hold back the possibly-incomplete last key of each Arrow
+        # batch as a LIST of fragments, concatenated once when the key
+        # completes — re-concatenating a growing tail into every batch
+        # would copy a B-batch hot key's rows O(B^2) times.
+        pending: list[pd.DataFrame] = []
+
+        def flush() -> pd.DataFrame:
+            out = (
+                pd.concat(pending, ignore_index=True)
+                if len(pending) > 1
+                else pending[0]
+            )
+            pending.clear()
+            return out
+
         for pdf in batches:
-            if tail is not None and len(tail):
-                pdf = pd.concat([tail, pdf], ignore_index=True)
             if not len(pdf):
                 continue
             keys = pdf[key_col].to_numpy(dtype=object)
+            if pending and pending[-1][key_col].iloc[-1] != keys[0]:
+                yield enc_block(flush())  # pending key ended at batch edge
             cut = len(pdf) - int((keys == keys[-1]).sum())
-            head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
-            if len(head):
-                yield enc_block(head)
-        if tail is not None and len(tail):
-            yield enc_block(tail)
+            if cut > 0:
+                pending.append(pdf.iloc[:cut])
+                yield enc_block(flush())
+                pending.append(pdf.iloc[cut:])
+            else:
+                pending.append(pdf)  # whole batch is one (continuing) key
+        if pending:
+            yield enc_block(flush())
 
     schema = COMPRESSED_SCHEMA + (", flags array<string>" if with_flags else "")
     in_cols = [key_col, ts_col, value_col] + ([flags_col] if with_flags else [])
