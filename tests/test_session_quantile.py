@@ -82,3 +82,34 @@ def test_quantile_rollup_golden(spark):
     # p95: rank 2.85 -> 3 + 0.85*(4-3) = 3.85
     assert abs(out["a"].p95 - 3.85) < 1e-12
     assert out["b"].n == 1 and out["b"].p50 == 10.0 and out["b"].p95 == 10.0
+
+
+def test_sessionize_native_equivalence(spark):
+    """Spark's built-in session_window must produce the same sessions
+    as the custom operator on data with no exact-threshold gaps (the
+    one documented boundary difference)."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.operators import sessionize_native
+
+    rng = np.random.RandomState(11)
+    spec = []
+    for k in ("a", "b", "c"):
+        m = 0
+        for _ in range(60):
+            # gaps of 1..25 min or a 40-90 min session break — never
+            # exactly the 30-min threshold
+            m += int(rng.choice([*range(1, 26), 40, 60, 90]))
+            spec.append((k, m, float(rng.randint(0, 10))))
+    df = _events(spark, spec)
+    custom = sessionize(df, gap_seconds=1800, key_col="key")
+    native = sessionize_native(df, gap_seconds=1800, key_col="key")
+    a = {
+        (r.key, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in custom.collect()
+    }
+    b = {
+        (r.key, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in native.collect()
+    }
+    assert a == b
