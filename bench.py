@@ -483,12 +483,27 @@ def main() -> None:
                 if HOST_CLEAN_LO <= p["efficiency_n_to_4n"] <= HOST_CLEAN_HI
             ]
 
+        # Adaptive pairs stop at a wall-clock budget as well as the
+        # pair cap: the artifact must EXIST even on a hostile host — a
+        # bench killed by the harness timeout records nothing, which is
+        # strictly worse than an artifact whose ladder shows dirty
+        # windows.
+        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2700"))
+        t_scaling = time.time()
+
+        def _within_budget():
+            return time.time() - t_scaling < budget_s
+
         try:
             for _ in range(SCALE_PAIRS):
                 _run_pair()
-            if _spread(los) > 1.35 or _spread(his) > 1.35:
+                if not _within_budget():
+                    break
+            if (_spread(los) > 1.35 or _spread(his) > 1.35) and _within_budget():
                 _run_pair()  # one extra alternation on a wild window
-            while len(_clean_ids()) < 2 and len(probes) < 6:
+            while (
+                len(_clean_ids()) < 2 and len(probes) < 6 and _within_budget()
+            ):
                 _run_pair()
         finally:
             # a failed/timed-out worker must not strand 28M rows of
