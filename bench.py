@@ -160,6 +160,18 @@ def pipeline_compressed_bench(spark, n_convs: int = 20000) -> dict:
     """
     import shutil
 
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, "spark-bench-compressed")
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        return _pipeline_compressed_bench_body(spark, n_convs, root)
+    finally:
+        # tmpfs holds GBs of tier + gorilla output; a mid-bench crash
+        # must not strand it (same crash-safety as the scaling input)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _pipeline_compressed_bench_body(spark, n_convs: int, root: str) -> dict:
     from enhydris_autoprocess_spark.config import (
         AggregationConfig,
         PipelineConfig,
@@ -176,9 +188,6 @@ def pipeline_compressed_bench(spark, n_convs: int = 20000) -> dict:
     from enhydris_autoprocess_spark.synth import generate_transcripts_jvm
     from pyspark.sql import functions as F
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    root = os.path.join(base, "spark-bench-compressed")
-    shutil.rmtree(root, ignore_errors=True)
     cfg = PipelineConfig(
         range_check=RangeCheckConfig(0, 3000, 5, 2500),
         rate_of_change=RateOfChangeConfig((RoccThreshold("10min", 2000.0),)),
@@ -224,7 +233,6 @@ def pipeline_compressed_bench(spark, n_convs: int = 20000) -> dict:
         "spark_encode_pts_per_sec": round(n_checked / t_enc, 1),
         "spark_decode_pts_per_sec": round(n_back / t_dec, 1),
     }
-    shutil.rmtree(root, ignore_errors=True)
     return out
 
 

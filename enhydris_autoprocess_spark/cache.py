@@ -42,11 +42,19 @@ def release_caches(df: DataFrame) -> None:
     propagate — swallowing them would silently reintroduce the leak
     this module exists to prevent."""
     for dep in getattr(df, _ATTR, []):
+        stopped = False
         try:
-            alive = dep.sparkSession._sc._jsc is not None
+            sc = dep.sparkSession.sparkContext
         except Exception:
-            alive = False
-        if alive:
+            # Spark Connect has no local SparkContext; the server holds
+            # the cache, so attempt the unpersist rather than skipping.
+            sc = None
+        if sc is not None:
+            try:
+                stopped = sc._jsc is None
+            except Exception:
+                stopped = False
+        if not stopped:
             dep.unpersist()
     if hasattr(df, _ATTR):
         setattr(df, _ATTR, [])

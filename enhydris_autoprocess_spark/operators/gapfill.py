@@ -230,8 +230,17 @@ def _fill_pdf(
     ``step_us``: when given, the ``max_gap_slots`` gate measures the
     anchors' TIME distance in slots instead of index distance — index
     distance miscounts when off-grid pass-through rows are interleaved.
+
+    Duplicate (key, ts) on-grid rows: only the LAST in
+    (ts, value, flags) sort order occupies the slot (anchors / can be
+    filled); the rest pass through unchanged as non-anchors. This is
+    the same deterministic election the fused path applies (it sorts
+    by the same keys and keeps the last per slot), so fused and
+    chunked output match even on dirty input.
     """
-    pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+    pdf = pdf.sort_values(
+        [ts_col, value_col, flags_col], kind="stable"
+    ).reset_index(drop=True)
     v = pdf[value_col].to_numpy(dtype=np.float64, copy=True)
     t = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
     off = (
@@ -239,6 +248,15 @@ def _fill_pdf(
         if offgrid_col is not None
         else np.zeros(len(v), dtype=bool)
     )
+    # slot election for duplicate ts among on-grid rows: all but the
+    # last (in the deterministic sort above) become pass-through
+    on_idx = np.flatnonzero(~off)
+    if len(on_idx) > 1:
+        t_on = t[on_idx]
+        loser = np.r_[t_on[1:] == t_on[:-1], False]
+        if loser.any():
+            off = off.copy()
+            off[on_idx[loser]] = True
     missing = np.isnan(v)
     anchor = ~missing & ~off
     if (missing & ~off).any() and anchor.any():
@@ -290,12 +308,11 @@ def gap_fill(
     chunks of that many grid slots processed in parallel with
     ``max_gap_slots + 1`` slots of halo context (requires a bounded
     ``max_gap_slots``; see skew.chunked_apply_in_pandas). Output is
-    identical to the unchunked path on duplicate-free input (tests pin
-    this); off-grid rows pass through as non-anchors here too (the
-    grid join marks them, ``_fill_pdf`` masks them out). Duplicate
-    (key, ts) rows each survive as their own row like ``gap_fill_sql``
-    — same row multiset as the fused path, variant-specific slot
-    election (the fused path keeps one slot winner).
+    identical to the unchunked path — including on dirty input with
+    duplicate (key, ts) rows, where both variants elect the same slot
+    winner deterministically by the (ts, value, flags) tie-break
+    (tests pin this); off-grid rows pass through as non-anchors here
+    too (the grid join marks them, ``_fill_pdf`` masks them out).
 
     ``keep_offgrid`` (default on): input rows off the per-key
     min-anchored grid, and duplicate (key, ts) rows beyond the one that
@@ -409,9 +426,14 @@ def gap_fill(
     # the pre-UDF shuffle must be sized by the caller's parallelism, not
     # by AQE's input-byte heuristic.
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # (value, flags) tie-break keys make the duplicate-(key, ts) slot
+    # election deterministic: the LAST row per slot wins in _fill_block,
+    # so without them the winner depended on arbitrary shuffle order
+    # (Spark and pandas both sort NaN after all numbers, so the fused
+    # and chunked elections agree even with NaN duplicates).
     out = (
         df.repartition(n_parts, key_col)
-        .sortWithinPartitions(key_col, ts_col)
+        .sortWithinPartitions(key_col, ts_col, value_col, flags_col)
         .mapInPandas(fill_stream, schema=schema)
     )
     return out.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))

@@ -102,8 +102,11 @@ class Pipeline:
         ~free); gap-fill routes only keys spanning more than one chunk
         to the chunked variant (per-group pandas overhead would ruin
         the common case — see gap_fill_auto). Output is identical
-        either way (pinned by tests), so the knob is excluded from the
-        config hash and flipping it does not invalidate checkpoints.
+        either way — including on dirty input with duplicate
+        (key, ts) rows, where both variants elect the same slot
+        winner via the (ts, value, flags) tie-break (pinned by
+        tests) — so the knob is excluded from the config hash and
+        flipping it does not invalidate checkpoints.
         """
         self.spark = spark
         self.cfg = cfg

@@ -439,7 +439,16 @@ def simhash_dedup_pairs(
         _simhash_fp_fast(F.col(text_col), shingle_k).alias("fp"),
     ).persist()
 
-    n_blocks = min(max_hamming + 1, 16)
+    if max_hamming > 15:
+        # 16 blocks over 64 bits is the widest split where pigeonhole
+        # completeness still holds for max_hamming + 1 blocks; beyond
+        # that the blocking would silently miss qualifying pairs.
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds 15, the largest radius "
+            "for which pigeonhole blocking over 64-bit fingerprints is "
+            "complete (needs max_hamming + 1 <= 16 blocks)"
+        )
+    n_blocks = max_hamming + 1
     base_w, extra = divmod(64, n_blocks)
     widths = [base_w + (1 if i < extra else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]

@@ -187,6 +187,60 @@ def test_gap_fill_auto_routes_hot_keys(spark):
         assert (math.isnan(ra.value) and math.isnan(rb.value)) or ra.value == rb.value
 
 
+def test_duplicate_slot_election_deterministic_and_variant_identical(spark):
+    """ADVICE r03: duplicate (key, ts) slot election was order-dependent
+    and differed between the fused path (last-in-shuffle-order wins) and
+    the chunked path (all duplicates anchored). Both now elect the same
+    winner deterministically — last in (ts, value, flags) order — so the
+    pipeline's hot_key_chunking knob is output-invariant on dirty input
+    too (the config-hash exclusion claim)."""
+    import math
+
+    t = T0.replace(tzinfo=None)
+    rows = [
+        ("k", t, 10.0, ""),
+        # duplicates at minute 3: winner must be (41.0, "D") — the max
+        # by (value, flags) — in every variant and every run
+        ("k", t + dt.timedelta(minutes=3), 40.0, ""),
+        ("k", t + dt.timedelta(minutes=3), 41.0, "D"),
+        # NaN duplicate at minute 6: NaN sorts after numbers in both
+        # Spark and pandas, so the NaN row wins the slot and the slot
+        # gets interpolated while 60.0 passes through
+        ("k", t + dt.timedelta(minutes=6), 60.0, ""),
+        ("k", t + dt.timedelta(minutes=6), NAN, "N"),
+        ("k", t + dt.timedelta(minutes=9), 90.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, flags string"
+    )
+    step = parse_step("1min")
+    for attempt in range(2):  # two runs: determinism, not luck
+        fused = gap_fill(df, step, max_gap_slots=5).orderBy(
+            "ts", "value", "flags"
+        ).collect()
+        chunked = gap_fill(
+            df, step, max_gap_slots=5, chunk_span_slots=50
+        ).orderBy("ts", "value", "flags").collect()
+        assert len(fused) == len(chunked) == 12  # 10 slots + 2 losers
+        for ra, rb in zip(fused, chunked):
+            assert (ra.ts, ra.flags) == (rb.ts, rb.flags)
+            assert (
+                math.isnan(ra.value) and math.isnan(rb.value)
+            ) or ra.value == rb.value
+        by = {}
+        for r in fused:
+            by.setdefault(r.ts, []).append(r)
+        # minute 1/2 lerp toward the 41.0 winner, not 40.0
+        (r1,) = by[t + dt.timedelta(minutes=1)]
+        assert r1.value == pytest.approx(10.0 + (41.0 - 10.0) / 3)
+        # minute-6 slot: NaN row won -> interpolated 41 -> 90 over 6 slots;
+        # the 60.0 loser passes through unchanged
+        m6 = sorted(by[t + dt.timedelta(minutes=6)], key=lambda r: r.value)
+        assert [r.flags for r in m6] == ["", "N FILLED"]
+        assert m6[0].value == 60.0
+        assert m6[1].value == pytest.approx(41.0 + (90.0 - 41.0) / 2)
+
+
 @pytest.mark.parametrize("impl", [gap_fill, gap_fill_sql], ids=["pandas", "sql"])
 def test_offgrid_and_duplicate_rows_are_preserved(spark, impl):
     """Dirty input (off-grid timestamps, duplicate (key, ts) rows) must

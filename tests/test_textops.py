@@ -70,6 +70,16 @@ def test_simhash_pairs(spark, docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_simhash_rejects_radius_beyond_pigeonhole_limit(spark, docs):
+    """ADVICE r03: n_blocks silently capped at 16, so the 'complete for
+    ANY radius' claim lapsed at max_hamming >= 16; now it's a loud error."""
+    import pytest as _pytest
+
+    simhash_dedup_pairs(docs, max_hamming=15).schema  # boundary still ok
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_dedup_pairs(docs, max_hamming=16)
+
+
 def test_ngram_jaccard(spark, docs):
     out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
     assert out[(0, 1)] == 1.0
