@@ -100,10 +100,20 @@ def _extra_queries():
         q = emb.where(F.col("vec_id") < 5)
         return ivf_cosine_topk(emb, q, k=5, n_cells=32, n_probe=4)
 
+    def quantile_approx_corpus(spark, sf_dir):
+        # corpus-wide percentiles via mergeable sketches — the scale
+        # path the exact gate query documents for the 10^12-row case
+        # (approximate, so bench-only: no exact oracle can hash-match)
+        from enhydris_autoprocess_spark.rollup import quantile_rollup_approx
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return quantile_rollup_approx(ev.select("value"), key_cols=())
+
     return {
         "simhash_dedup": simhash_production,  # shadows the gate entry
         "embedding_near_dup_lsh": near_dup_lsh,
         "ivf_cosine_topk_probe4": ivf_partial,
+        "quantile_rollup_approx": quantile_approx_corpus,
     }
 
 
@@ -558,7 +568,12 @@ def main() -> None:
     qs = {**entrymod.queries(), **_extra_queries()}
     times: dict[str, float] = {}
     total = 0.0
-    for name in [*HEADLINE, "embedding_near_dup_lsh", "ivf_cosine_topk_probe4"]:
+    for name in [
+        *HEADLINE,
+        "embedding_near_dup_lsh",
+        "ivf_cosine_topk_probe4",
+        "quantile_rollup_approx",
+    ]:
         fn = qs[name]
         best = float("inf")
         # First execution of a plan pays one-time codegen/GC costs that

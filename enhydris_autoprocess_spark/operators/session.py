@@ -9,10 +9,14 @@ ordinal (cumulative sum over the same sort), then one partial+final
 hash aggregation per (key, session). Both steps share a single
 exchange on the key; the aggregation's map-side combine absorbs hot
 keys, so the only skew-sensitive stage is the window sort — the same
-profile as the rate-of-change check, and the same time-chunking trick
-would apply if a key's stream outgrew a task (a session that CROSSES
-a chunk boundary needs the halo to carry the previous event, which
-the lookback-only halo provides).
+profile as the rate-of-change check, and ``chunk_span_seconds``
+applies the same lookback-halo time-chunking (rocc.py): rows in the
+last ``gap`` of each chunk are copied into the next chunk as context,
+the window partitions by (key, chunk), and the per-key session
+ordinal is reassembled as per-chunk-start-count prefix + within-chunk
+cumulative sum — a session crossing chunk boundaries contributes its
+start to exactly one chunk, so every fragment lands on the same
+global ordinal and the final (key, session) aggregation merges them.
 
 Duplicate timestamps are safe: a zero gap is never a session break,
 and the running sum gives equal-ts rows the same session id in any
@@ -33,16 +37,37 @@ def sessionize(
     key_col: str = "key",
     ts_col: str = "ts",
     value_col: str = "value",
+    chunk_span_seconds: int | None = None,
 ) -> DataFrame:
     """Group events into per-key sessions separated by more than
     ``gap_seconds`` of inactivity.
 
     Output: key, session_id (1-based per key, ordered by time),
     session_start, session_end, n_events, value_sum.
+
+    ``chunk_span_seconds``: hot-key mode — a plain window makes one
+    conversation one sort partition, so a years-long conversation is
+    one straggler task at 10^12-turn scale. Because session membership
+    only looks BACK ``gap_seconds``, each key's timeline splits into
+    fixed time chunks with a gap-sized lookback halo (the halo carries
+    the previous event, so a session crossing the boundary continues
+    rather than restarting); the global ordinal is the number of
+    session STARTS at or before each row, which decomposes exactly as
+    (starts in earlier chunks) + (within-chunk running count) — one
+    tiny per-(key, chunk) aggregation + prefix window supplies the
+    first term. Output is identical to the plain path (pinned by
+    test). Must exceed ``gap_seconds``.
     """
     us = ts_micros(F.col(ts_col))
-    w = Window.partitionBy(key_col).orderBy(us)
     gap_us = gap_seconds * 1_000_000
+
+    if chunk_span_seconds is not None:
+        return _sessionize_chunked(
+            df, gap_us, chunk_span_seconds * 1_000_000,
+            key_col, ts_col, value_col,
+        )
+
+    w = Window.partitionBy(key_col).orderBy(us)
     prev = F.lag(us).over(w)
     new_session = (prev.isNull() | ((us - prev) > F.lit(gap_us))).cast("int")
     run = Window.partitionBy(key_col).orderBy(us).rowsBetween(
@@ -52,6 +77,10 @@ def sessionize(
         df.withColumn("__us", us)
         .withColumn("__sid", F.sum(new_session).over(run))
     )
+    return _agg_sessions(sess, key_col, value_col)
+
+
+def _agg_sessions(sess: DataFrame, key_col: str, value_col: str) -> DataFrame:
     return (
         sess.groupBy(key_col, F.col("__sid").cast("long").alias("session_id"))
         .agg(
@@ -60,6 +89,81 @@ def sessionize(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(value_col).alias("value_sum"),
         )
+    )
+
+
+def _sessionize_chunked(
+    df: DataFrame,
+    gap_us: int,
+    span_us: int,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    if span_us <= gap_us:
+        raise ValueError("chunk span must exceed the session gap")
+    us = ts_micros(F.col(ts_col))
+
+    # exact integer chunk ids (see skew.chunked_apply_in_pandas: a
+    # double quotient at epoch-micros magnitude can round across an
+    # integer boundary)
+    def _chunk_id(micros):
+        span = F.lit(span_us)
+        return ((micros - F.pmod(micros, span)) / span).cast("long")
+
+    base = df.withColumn("__us", us).withColumn("__home", _chunk_id(F.col("__us")))
+    # lookback halo: rows within gap of a chunk's end also copy into
+    # the next chunk, so the next chunk's first row sees its true
+    # previous event; any previous event farther back than the halo is
+    # farther than the gap, i.e. a session break either way
+    copies = base.withColumn(
+        "__chunk",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col("__home"),
+                    _chunk_id(F.col("__us") + F.lit(gap_us)),
+                )
+            )
+        ),
+    )
+    w = Window.partitionBy(key_col, "__chunk").orderBy("__us")
+    prev = F.lag("__us").over(w)
+    new_session = (
+        prev.isNull() | ((F.col("__us") - prev) > F.lit(gap_us))
+    ).cast("int")
+    # halo copies contribute context to lag but must not count as
+    # session starts in their guest chunk (their start was counted in
+    # their home chunk)
+    start_here = new_session * (F.col("__home") == F.col("__chunk")).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        copies.withColumn("__local_sid", F.sum(start_here).over(run))
+        .where(F.col("__home") == F.col("__chunk"))
+    )
+
+    # per-(key, chunk) start counts -> per-key prefix sums: rows per
+    # key here = occupied chunks, not events, so this window is tiny
+    # even for the hottest key
+    counts = local.groupBy(key_col, "__chunk").agg(
+        F.max("__local_sid").alias("__starts")
+    )
+    woff = (
+        Window.partitionBy(key_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        key_col,
+        "__chunk",
+        F.coalesce(F.sum("__starts").over(woff), F.lit(0)).alias("__offset"),
+    )
+    sess = (
+        local.join(offsets, [key_col, "__chunk"])
+        .withColumn("__sid", F.col("__offset") + F.col("__local_sid"))
+    )
+    return _agg_sessions(sess, key_col, value_col).drop(
+        "__home", "__chunk", "__offset", "__local_sid"
     )
 
 

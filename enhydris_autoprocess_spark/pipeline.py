@@ -133,10 +133,17 @@ class Pipeline:
         if name not in self.tables:
             # days(ts) hidden partitioning on every tier (hypertable
             # analog, S6): incremental consumers prune whole day
-            # directories via read(min_ts_us=...). Tables without a ts
-            # column (e.g. Gorilla blob tiers) skip it automatically.
+            # directories via read(min_ts_us=...). Gorilla blob tiers
+            # have no ts column; they partition by the chunk's END
+            # timestamp (chunk_end_us) — a day directory then only
+            # holds chunks whose every point precedes the next day, so
+            # retention's __day= drops stay keep-side-safe even for
+            # chunks straddling midnight.
             self.tables[name] = TierTable(
-                os.path.join(self.root, name), partition_days_col="ts"
+                os.path.join(self.root, name),
+                partition_days_col=(
+                    "chunk_end_us" if name.endswith("_gorilla") else "ts"
+                ),
             )
         return self.tables[name]
 

@@ -122,10 +122,10 @@ def quantile_rollup(
     cross-check bit-for-bit after round6). Exact quantiles buffer each
     group's values — fine for per-key groups (a key's events fit a
     task by the same assumption every per-key window here makes). For
-    quantiles OVER ALL 10^12 rows use ``approx_percentile`` instead:
-    t-digest-style mergeable sketches, partial+final, no buffering —
-    kept out of the oracle gate because approximate results can't
-    hash-match an exact oracle.
+    quantiles OVER ALL 10^12 rows use ``quantile_rollup_approx``:
+    mergeable sketches, partial+final, no buffering — kept out of the
+    oracle gate because approximate results can't hash-match an exact
+    oracle (pinned against this operator within rank epsilon instead).
     """
     arr = F.expr(
         f"percentile({value_col}, array({', '.join(repr(q) + 'D' for q in quantiles)}))"
@@ -137,6 +137,43 @@ def quantile_rollup(
         name = ("p%g" % (q * 100)).replace(".", "_")
         aggs.append(F.element_at(arr, i + 1).alias(name))
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def quantile_rollup_approx(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = (),
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate quantiles via ``approx_percentile`` — the scale path
+    for percentiles over ALL rows (or hot keys), where the exact
+    aggregate's per-group value buffer cannot fit.
+
+    Spark's implementation is a mergeable Greenwald-Khanna-style
+    sketch: each task summarizes its partition, partial sketches merge
+    map-side and at the final agg, so memory is O(accuracy) per group
+    regardless of row count and the plan stays partial+final hash
+    aggregation — exactly what a 10^12-row corpus-wide percentile
+    needs. ``accuracy`` bounds the rank error at n/accuracy (default
+    1e4 -> 0.01% of rows); tests pin the result within that epsilon of
+    the exact operator per key and corpus-wide.
+
+    ``key_cols=()`` computes corpus-wide quantiles (one output row).
+    Output schema matches ``quantile_rollup``: n + one ``p<q>`` column
+    per requested quantile.
+    """
+    arr = F.expr(
+        f"approx_percentile({value_col}, "
+        f"array({', '.join(repr(q) + 'D' for q in quantiles)}), {accuracy})"
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, q in enumerate(quantiles):
+        name = ("p%g" % (q * 100)).replace(".", "_")
+        aggs.append(F.element_at(arr, i + 1).cast("double").alias(name))
+    if key_cols:
+        return df.groupBy(*key_cols).agg(*aggs)
+    return df.agg(*aggs)
 
 
 def build_tiers(transcripts: DataFrame) -> dict[str, DataFrame]:

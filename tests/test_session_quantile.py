@@ -70,6 +70,56 @@ def test_sessionize_single_exchange(spark):
     assert p.count("Exchange") == 1
 
 
+def test_sessionize_chunked_identical_output(spark):
+    """VERDICT r03 #4: hot-key chunked sessionize (lookback halo +
+    per-chunk ordinal offsets) must reproduce the plain single-window
+    result exactly — including sessions that CROSS chunk boundaries
+    (the halo carries the previous event so they merge, and the
+    crossing session's ordinal counts once, in its starting chunk)."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    spec = []
+    # hot key: long timeline with sessions engineered to straddle the
+    # 4-hour chunk boundary (events every ~5 min around each boundary)
+    m = 0
+    for _ in range(300):
+        m += int(rng.choice([2, 5, 9, 35, 50]))  # gaps; >30 min breaks
+        spec.append(("hot", m, float(rng.randint(0, 10))))
+    # a session bridging exactly the 240-min chunk edge
+    spec += [("hot", 20000 + m, 1.0) for m in (230, 238, 242, 251)]
+    # cold keys
+    for k in ("a", "b"):
+        m = 0
+        for _ in range(20):
+            m += int(rng.choice([3, 7, 45]))
+            spec.append((k, m, float(rng.randint(0, 10))))
+    # duplicate timestamps at a chunk boundary multiple
+    spec += [("a", 480, 1.0), ("a", 480, 2.0)]
+    df = _events(spark, spec)
+
+    plain = {
+        (r.key, r.session_id): (r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in sessionize(df, gap_seconds=1800, key_col="key").collect()
+    }
+    chunked = {
+        (r.key, r.session_id): (r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in sessionize(
+            df, gap_seconds=1800, key_col="key", chunk_span_seconds=4 * 3600
+        ).collect()
+    }
+    assert plain == chunked
+    # the fixture genuinely crosses chunks: the hot key spans several
+    spans = max(m for k, m, _ in spec if k == "hot") * 60
+    assert spans > 3 * 4 * 3600
+
+    # span must exceed the gap
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk span"):
+        sessionize(df, gap_seconds=1800, chunk_span_seconds=1800)
+
+
 def test_quantile_rollup_golden(spark):
     df = _events(
         spark,
@@ -82,6 +132,69 @@ def test_quantile_rollup_golden(spark):
     # p95: rank 2.85 -> 3 + 0.85*(4-3) = 3.85
     assert abs(out["a"].p95 - 3.85) < 1e-12
     assert out["b"].n == 1 and out["b"].p50 == 10.0 and out["b"].p95 == 10.0
+
+
+def test_quantile_rollup_approx_within_epsilon(spark):
+    """VERDICT r03 missing #3: the documented scale path for corpus-wide
+    percentiles had no coverage. quantile_rollup_approx (mergeable
+    sketches, partial+final) must land within the rank-error bound
+    n/accuracy of the exact operator, per key and corpus-wide, on a
+    skewed distribution."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.rollup import (
+        quantile_rollup,
+        quantile_rollup_approx,
+    )
+
+    rng = np.random.RandomState(17)
+    data = {
+        "a": np.sort(rng.uniform(0, 100, size=2000)),
+        "b": np.sort(rng.exponential(10.0, size=1500)),
+    }
+    rows = [
+        (k, T0 + dt.timedelta(seconds=i), float(v))
+        for k, vs in data.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+    accuracy = 10000
+
+    def rank_of(sorted_vals, x):
+        return float(np.searchsorted(sorted_vals, x, side="left"))
+
+    approx_by_key = {
+        r.key: r for r in quantile_rollup_approx(
+            df, ("key",), accuracy=accuracy
+        ).collect()
+    }
+    exact_by_key = {r.key: r for r in quantile_rollup(df, ("key",)).collect()}
+    for k, vs in data.items():
+        n = len(vs)
+        eps_rows = n / accuracy + 1  # rank error bound + element snap
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            target = (n - 1) * q
+            got = approx_by_key[k][col]
+            assert abs(rank_of(vs, got) - target) <= eps_rows + 1, (
+                k, col, got, exact_by_key[k][col]
+            )
+
+    # corpus-wide (no keys): one row, n = all rows
+    (row,) = quantile_rollup_approx(df, (), accuracy=accuracy).collect()
+    allv = np.sort(np.concatenate(list(data.values())))
+    assert row.n == len(allv)
+    for q, col in ((0.5, "p50"), (0.95, "p95")):
+        target = (len(allv) - 1) * q
+        assert abs(rank_of(allv, row[col]) - target) <= len(allv) / accuracy + 2
+
+    # the plan stays partial+final hash aggregation (mergeable sketch),
+    # never a sort or per-group buffer stage
+    plan = (
+        quantile_rollup_approx(df, ("key",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan and plan.count("Exchange") == 1
 
 
 def test_sessionize_native_equivalence(spark):
