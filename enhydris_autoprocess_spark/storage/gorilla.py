@@ -379,50 +379,177 @@ def encode_chunk_fast(ts_us: np.ndarray, values: np.ndarray) -> bytes:
 def encode_chunks_batch(
     ts_us: np.ndarray, values: np.ndarray, chunk: int
 ) -> list[tuple[int, int, bytes]]:
-    """Encode a whole sorted series as CHUNK-sized blobs with ONE
-    bit-packing pass: each chunk's field list gets a byte-alignment pad
-    field appended, all fields pack together, and the byte string is
-    sliced at the per-chunk boundaries. Amortizes the fixed numpy-op
-    overhead that dominates per-4096-point calls (~3x at typical
-    chunk counts). Returns [(chunk_start_us, n, blob), ...].
-    """
-    out_meta: list[tuple[int, int]] = []  # (start_us, n) per chunk
-    all_v: list[np.ndarray] = []
-    all_w: list[np.ndarray] = []
-    byte_lens: list[int] = []
-    scalar: dict[int, bytes] = {}  # chunk index -> fallback blob
-    for ci, i in enumerate(range(0, len(ts_us), chunk)):
-        t, v = ts_us[i : i + chunk], values[i : i + chunk]
-        out_meta.append((int(t[0]), len(t)))
-        fields = _encode_fields(t, v)
-        if fields is None:
-            scalar[ci] = encode_chunk(t, v)
-            byte_lens.append(0)
-            continue
-        fv, fw = fields
-        nbits = int(sum(int(w.sum()) for w in fw))
-        pad = (-nbits) % 8
-        if pad:
-            fv.append(np.zeros(1, dtype=np.uint64))
-            fw.append(np.array([pad]))
-        all_v.extend(fv)
-        all_w.extend(fw)
-        byte_lens.append((nbits + pad) // 8)
-    packed = (
-        _pack_bits(np.concatenate(all_v), np.concatenate(all_w))
-        if all_v
-        else b""
+    """Encode ONE sorted series as CHUNK-sized blobs — thin wrapper
+    over ``encode_chunks_multi`` with stride-``chunk`` segments.
+    Returns [(chunk_start_us, n, blob), ...]."""
+    n = len(ts_us)
+    starts = np.arange(0, n, chunk, dtype=np.int64)
+    lens = np.minimum(chunk, n - starts)
+    return encode_chunks_multi(
+        np.asarray(ts_us), np.asarray(values), starts, lens
     )
-    blobs: list[tuple[int, int, bytes]] = []
-    off = 0
-    for ci, ((start, n), blen) in enumerate(zip(out_meta, byte_lens)):
-        if ci in scalar:
-            blobs.append((start, n, scalar[ci]))
-            continue
-        header = struct.pack("<IqI", n, start, 1)
-        blobs.append((start, n, header + packed[off : off + blen]))
-        off += blen
-    return blobs
+
+
+def _seg_positions(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(segment id, within-segment position) per element, for segments
+    of the given lengths laid out consecutively."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    seg_ids = np.repeat(np.arange(len(counts)), counts)
+    offs = np.r_[0, np.cumsum(counts)[:-1]]
+    within = np.arange(total) - np.repeat(offs, counts)
+    return seg_ids, within
+
+
+def _pack_uniform_seg(
+    vals: np.ndarray, counts: np.ndarray, width: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Segmented ``_pack_uniform``: pack each segment's uniform-width
+    symbol run into its own word list (bit layout identical to calling
+    ``_pack_uniform`` per segment), all segments in one vector pass.
+    Returns (word values, word field widths, word segment ids)."""
+    per = 64 // width
+    seg_ids, within = _seg_positions(counts)
+    w_in_seg = within // per
+    slot = within % per
+    m = np.minimum(per, counts[seg_ids] - w_in_seg * per)  # symbols in word
+    shift = ((m - 1 - slot) * width).astype(np.uint64)
+    contrib = vals.astype(np.uint64) << shift
+    n_words_seg = (counts + per - 1) // per
+    word_offs = np.r_[0, np.cumsum(n_words_seg)[:-1]]
+    gw = word_offs[seg_ids] + w_in_seg  # non-decreasing (input is seg-ordered)
+    words = np.zeros(int(n_words_seg.sum()), dtype=np.uint64)
+    if len(gw):
+        firsts = np.r_[0, np.flatnonzero(gw[1:] != gw[:-1]) + 1]
+        words[gw[firsts]] = np.bitwise_or.reduceat(contrib, firsts)
+    wseg, wwithin = _seg_positions(n_words_seg)
+    wwidths = np.minimum(counts[wseg] - wwithin * per, per) * width
+    return words, wwidths.astype(np.int64), wseg
+
+
+def encode_chunks_multi(
+    ts_us: np.ndarray,
+    values: np.ndarray,
+    seg_start: np.ndarray,
+    seg_len: np.ndarray,
+) -> list[tuple[int, int, bytes]]:
+    """Encode MANY chunks — across many keys — in ONE vectorized pass.
+
+    ``seg_start``/``seg_len`` delimit each chunk inside the
+    concatenated (already key+ts-sorted) arrays; deltas/dods/XORs never
+    cross a segment boundary. All per-chunk fields are built by global
+    numpy ops with segment-reset indexing (the encode mirror of
+    ``decode_chunks_batch``'s segmented decode), ordered per segment by
+    one stable argsort, and bit-packed in a single ``_pack_bits`` call;
+    segment byte boundaries come from analytic per-segment bit counts.
+    Byte-identical to per-chunk ``encode_chunk_fast`` (pinned by test) —
+    this is what keeps in-Spark encode throughput at the micro-bench
+    level when a tier has thousands of short keys per Arrow batch
+    (VERDICT r03 #5: per-key encode calls paid ~35 fixed numpy ops per
+    key, 3x the whole budget at 250-point keys).
+
+    Segments with pathological dods (|dod| >= 2^60, where vectorized
+    zigzag could wrap) are re-encoded with the scalar v1 encoder; their
+    vector-path bytes are computed-but-discarded, which is safe because
+    the analytic bit counts use the same (wrapped) class/width arrays,
+    keeping every other segment's byte offsets intact.
+
+    Returns [(chunk_start_us, n, blob), ...] in segment order.
+    """
+    t = np.ascontiguousarray(ts_us).astype(np.int64, copy=False)
+    vals_f = np.ascontiguousarray(values, dtype=np.float64)
+    b = vals_f.view(np.uint64)
+    seg_start = np.asarray(seg_start, dtype=np.int64)
+    n_s = np.asarray(seg_len, dtype=np.int64)
+    S = len(seg_start)
+    if S == 0:
+        return []
+    N = len(t)
+    d_full = np.diff(t) if N > 1 else np.zeros(0, np.int64)
+    dd_full = np.diff(d_full) if N > 2 else np.zeros(0, np.int64)
+    x_full = (b[1:] ^ b[:-1]) if N > 1 else np.zeros(0, np.uint64)
+
+    nd = np.maximum(n_s - 2, 0)
+    nx = np.maximum(n_s - 1, 0)
+    dod_seg, dod_within = _seg_positions(nd)
+    dods = dd_full[seg_start[dod_seg] + dod_within]
+    xor_seg, xor_within = _seg_positions(nx)
+    xor = x_full[seg_start[xor_seg] + xor_within]
+
+    # --- dod class + payload streams (as in _encode_fields) ---------
+    z = ((dods << 1) ^ (dods >> 63)).view(np.uint64)
+    cls = 1 + np.searchsorted(_DOD_BOUNDS, z, side="right")
+    cls[dods == 0] = 0
+    pay = np.where(cls == 3, dods.view(np.uint64), z)
+    pay_w = _DOD_PAYLOAD_W[cls]
+
+    # --- value XOR lead/sig (same float-log trick as _encode_fields) -
+    nz = xor != 0
+    safe = np.where(nz, xor, np.uint64(1))
+    lsb = safe & (~safe + np.uint64(1))
+    trail = np.log2(lsb.astype(np.float64)).astype(np.int64)
+    k = np.minimum(np.log2(safe.astype(np.float64)).astype(np.int64), 63)
+    k = np.where(safe >> k.astype(np.uint64) == 0, k - 1, k)
+    k = np.where((k < 63) & (safe >> (k + 1).astype(np.uint64) != 0), k + 1, k)
+    lead = np.minimum(63 - k, 31)
+    sig = 64 - lead - trail
+
+    # --- streams, ranked by their per-segment order ------------------
+    fd_sel = np.flatnonzero(n_s > 1)
+    cls_v, cls_w, cls_seg = _pack_uniform_seg(cls, nd, 2)
+    ctrl_v, ctrl_w, ctrl_seg = _pack_uniform_seg(nz.astype(np.uint64), nx, 1)
+    nz_idx = np.flatnonzero(nz)
+    ls_v = (lead[nz_idx].astype(np.uint64) << np.uint64(6)) | (
+        sig[nz_idx].astype(np.uint64) & np.uint64(0x3F)
+    )
+    streams = [
+        (d_full[seg_start[fd_sel]].view(np.uint64),
+         np.full(len(fd_sel), 64, np.int64), fd_sel),
+        (cls_v, cls_w, cls_seg),
+        (pay, pay_w, dod_seg),
+        (b[seg_start], np.full(S, 64, np.int64), np.arange(S)),
+        (ctrl_v, ctrl_w, ctrl_seg),
+        (ls_v, np.full(len(nz_idx), 11, np.int64), xor_seg[nz_idx]),
+        (xor[nz_idx] >> trail[nz_idx].astype(np.uint64), sig[nz_idx],
+         xor_seg[nz_idx]),
+    ]
+    nbits = np.zeros(S, dtype=np.int64)
+    for _, w_, s_ in streams:
+        if len(s_):
+            nbits += np.bincount(s_, weights=w_, minlength=S).astype(np.int64)
+    pad = (-nbits) % 8
+    pad_sel = np.flatnonzero(pad)
+    streams.append(
+        (np.zeros(len(pad_sel), np.uint64), pad[pad_sel], pad_sel)
+    )
+    byte_len = (nbits + pad) // 8
+
+    all_v = np.concatenate([s[0].astype(np.uint64) for s in streams])
+    all_w = np.concatenate([s[1] for s in streams]).astype(np.int64)
+    all_seg = np.concatenate([s[2] for s in streams]).astype(np.int64)
+    all_rank = np.concatenate(
+        [np.full(len(s[0]), r, np.int64) for r, s in enumerate(streams)]
+    )
+    order = np.argsort(all_seg * 8 + all_rank, kind="stable")
+    packed = _pack_bits(all_v[order], all_w[order])
+
+    bad = np.zeros(S, dtype=bool)
+    if len(dods):
+        huge = (dods >= (1 << 60)) | (dods <= -(1 << 60))
+        if huge.any():
+            bad[np.unique(dod_seg[huge])] = True
+    offs = np.r_[0, np.cumsum(byte_len)]
+    out: list[tuple[int, int, bytes]] = []
+    for i in range(S):
+        lo = int(seg_start[i])
+        n_ = int(n_s[i])
+        st = int(t[lo])
+        if bad[i]:
+            out.append((st, n_, encode_chunk(t[lo : lo + n_], vals_f[lo : lo + n_])))
+        else:
+            header = struct.pack("<IqI", n_, st, 1)
+            out.append((st, n_, header + packed[offs[i] : offs[i + 1]]))
+    return out
 
 
 def _unpack_fields(
@@ -785,18 +912,23 @@ def compress_series(
         ts_all = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         vals_all = pdf[value_col].to_numpy(dtype=np.float64)
         fl_all = pdf[flags_col].tolist() if with_flags else None
+        # one segment per (key, chunk): ALL keys in the block encode in
+        # a single vectorized encode_chunks_multi pass — per-key encode
+        # calls paid ~35 fixed numpy ops per key, which dominated tiers
+        # with many short keys (VERDICT r03 #5)
+        key_lo, key_hi = bounds[:-1], bounds[1:]
+        nch = (key_hi - key_lo + chunk - 1) // chunk
+        cseg, cwithin = _seg_positions(nch)
+        seg_start = key_lo[cseg] + cwithin * chunk
+        seg_len = np.minimum(chunk, key_hi[cseg] - seg_start)
+        blobs = encode_chunks_multi(ts_all, vals_all, seg_start, seg_len)
         rows = []
-        for i in range(len(bounds) - 1):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            for (start, n, blob), j in zip(
-                encode_chunks_batch(ts_all[lo:hi], vals_all[lo:hi], chunk),
-                range(lo, hi, chunk),
-            ):
-                row = [keys[lo], start, int(ts_all[j + n - 1]), n, blob]
-                if with_flags:
-                    chunk_fl = fl_all[j : j + n]
-                    row.append(chunk_fl if any(chunk_fl) else None)
-                rows.append(tuple(row))
+        for (start, n, blob), lo in zip(blobs, seg_start.tolist()):
+            row = [keys[lo], start, int(ts_all[lo + n - 1]), n, blob]
+            if with_flags:
+                chunk_fl = fl_all[lo : lo + n]
+                row.append(chunk_fl if any(chunk_fl) else None)
+            rows.append(tuple(row))
         return pd.DataFrame(rows, columns=cols)
 
     def enc_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

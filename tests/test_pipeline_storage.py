@@ -499,6 +499,55 @@ def test_hot_key_chunking_identical_output(spark, transcripts, tmp_path):
     assert spans > 0, "fixture has no hot key; raise conv lengths"
 
 
+def test_gorilla_multi_encode_byte_identical():
+    """encode_chunks_multi (all keys/chunks of a block in one vector
+    pass — VERDICT r03 #5) must produce byte-for-byte the blobs of
+    per-chunk encode_chunk_fast, across segment sizes incl. n=1/2/3,
+    NaNs, and the pathological-dod scalar fallback."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.storage.gorilla import (
+        decode_chunk,
+        encode_chunk_fast,
+        encode_chunks_multi,
+    )
+
+    rng = np.random.RandomState(33)
+    ts_parts, v_parts, starts, lens = [], [], [], []
+    off = 0
+    for n in [1, 2, 3, 7, 50, 251, 4096, 904]:
+        gaps = rng.exponential(5e7, size=n).astype(np.int64) + 1
+        t = np.cumsum(gaps) + 1_700_000_000_000_000
+        v = rng.randn(n)
+        v[rng.rand(n) < 0.2] = np.nan
+        ts_parts.append(t)
+        v_parts.append(v)
+        starts.append(off)
+        lens.append(n)
+        off += n
+    T = np.concatenate(ts_parts)
+    V = np.concatenate(v_parts)
+    multi = encode_chunks_multi(T, V, np.array(starts), np.array(lens))
+    assert len(multi) == len(ts_parts)
+    for (st, n, blob), t, v in zip(multi, ts_parts, v_parts):
+        assert st == t[0] and n == len(t)
+        assert blob == encode_chunk_fast(t, v)
+
+    # pathological dods (|dod| >= 2^60): that segment falls back to the
+    # scalar v1 encoder without disturbing its neighbors' byte offsets
+    t_bad = np.array([0, 1, 2**61, 2**61 + 1], dtype=np.int64) + T[-1] + 10**9
+    v_bad = np.array([1.0, 2.0, 3.0, 4.0])
+    T2 = np.concatenate([ts_parts[4], t_bad, ts_parts[5]])
+    V2 = np.concatenate([v_parts[4], v_bad, v_parts[5]])
+    s2 = np.array([0, 50, 54])
+    l2 = np.array([50, 4, 251])
+    out = encode_chunks_multi(T2, V2, s2, l2)
+    assert out[0][2] == encode_chunk_fast(ts_parts[4], v_parts[4])
+    assert out[2][2] == encode_chunk_fast(ts_parts[5], v_parts[5])
+    dt_, dv = decode_chunk(out[1][2])
+    assert np.array_equal(dt_, t_bad) and np.array_equal(dv, v_bad)
+
+
 def test_gorilla_batch_decode_matches_per_chunk():
     """decode_chunks_batch (segmented-vectorized, many blobs per call)
     must reproduce decode_chunk exactly, including mixed v1/v2 blobs,

@@ -73,6 +73,72 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert canon(got) == canon(want)
 
 
+def test_streaming_sessionize_cross_batch_merge(spark, tmp_path):
+    """VERDICT r03 #7: streaming sessionization via native
+    session_window state merging. A session whose fragments arrive in
+    DIFFERENT micro-batches must emit as ONE merged row (that's the
+    state store's session merge), equal to the batch operator's
+    result on the same closed region."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from enhydris_autoprocess_spark.operators import sessionize_native
+    from enhydris_autoprocess_spark.streaming import (
+        run_sessionize_available_now,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    # key a: one session 0..15min whose halves arrive in different
+    # batches (0,5 | 10,15 — every gap 5min < the 10min threshold)
+    for m, v in ((0, 1.0), (5, 2.0), (10, 3.0), (15, 4.0)):
+        rows.append(("a", t0 + dt.timedelta(minutes=m), v))
+    # key a: a second session at 60..62min
+    for m, v in ((60, 5.0), (62, 6.0)):
+        rows.append(("a", t0 + dt.timedelta(minutes=m), v))
+    # key b: single-event session
+    rows.append(("b", t0 + dt.timedelta(minutes=3), 9.0))
+    # frontier events: push the watermark far past every session above
+    # (append mode only emits sessions the watermark has closed)
+    rows.append(("z", t0 + dt.timedelta(hours=10), 0.0))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+    in_dir = str(tmp_path / "ss_in")
+    out_dir = str(tmp_path / "ss_out")
+    ck_dir = str(tmp_path / "ss_ck")
+    os.makedirs(in_dir)
+    cut = t0 + dt.timedelta(minutes=8)
+    df.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(in_dir + "/p1")
+    df.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(in_dir + "/p2")
+    now = _time.time()
+    for sub, age in (("p1", 60), ("p2", 0)):
+        f = [x for x in os.listdir(f"{in_dir}/{sub}") if x.endswith(".parquet")][0]
+        os.utime(os.path.join(in_dir, sub, f), (now - age, now - age))
+
+    run_sessionize_available_now(
+        spark, in_dir, out_dir, ck_dir,
+        schema=df.schema, gap_seconds=600,
+        max_files_per_trigger=1, watermark="10 minutes", timeout_sec=240,
+    )
+
+    got = {
+        (r.key, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch oracle on the closed region (watermark = 10h - 10min covers
+    # every non-frontier session)
+    want = {
+        (r.key, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in sessionize_native(
+            df.where(F.col("key") != "z"), gap_seconds=600
+        ).collect()
+    }
+    assert got == want
+    # the cross-batch session really merged into one 4-event row
+    assert ("a", t0, t0 + dt.timedelta(minutes=15), 4, 10.0) in got
+
+
 def test_streaming_gap_monitor_stateful(spark, tmp_path):
     """applyInPandasWithState gap monitor: gap events across micro-batch
     boundaries must equal the batch lag-diff oracle, including gaps
