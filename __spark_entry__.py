@@ -285,6 +285,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessions via the hot-key chunked variant (lookback-halo
+    time chunks + per-chunk ordinal prefix sums, operators/session.py
+    _sessionize_chunked) — identical output to the plain window path,
+    so it shares the sessionize oracle; a 6h chunk span over the
+    fixture's multi-day user streams makes real sessions cross chunk
+    boundaries at sf0.01."""
+    out = sessionize(
+        _events(spark, sf_dir).select("user_id", "ts", "value"),
+        gap_seconds=1800,
+        key_col="user_id",
+        chunk_span_seconds=6 * 3600,
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        round6(F.col("value_sum")).alias("value_sum"),
+    )
+
+
 def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exact p50/p95 of the value channel (rollup.py
     quantile_rollup; Spark exact percentile == ANSI percentile_cont ==
@@ -492,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": q_rollup_hourly,
         "tier_1d_from_1h": q_tier_1d_from_1h,
         "sessionize": q_sessionize,
+        "sessionize_chunked": q_sessionize_chunked,
         "quantile_rollup": q_quantile_rollup,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -511,6 +535,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOP_EN = "('the','a','of','and','to')"
 _STOP_DE = "('der','die','und','das','ein')"
 _STOP_FR = "('le','la','et','les','des')"
+
+
+_SESSION_SQL = """
+    WITH w AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+        CASE WHEN lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+             OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY us
+        ROWS UNBOUNDED PRECEDING) AS sid
+      FROM w)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+      make_timestamp(min(us)) AS session_start,
+      make_timestamp(max(us)) AS session_end,
+      count(*) AS n_events,
+      floor(sum(value) * 1000000 + 0.5) / 1000000 AS value_sum
+    FROM s GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -657,27 +704,7 @@ def oracle_sql() -> dict[str, str]:
               min(value) AS value_min, max(value) AS value_max
             FROM b GROUP BY 1, 2
         """,
-        "sessionize": """
-            WITH w AS (
-              SELECT user_id, value, epoch_us(ts) AS us,
-                CASE WHEN lag(epoch_us(ts)) OVER
-                       (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
-                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER
-                       (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
-                     THEN 1 ELSE 0 END AS new_s
-              FROM events),
-            s AS (
-              SELECT *, sum(new_s) OVER (
-                PARTITION BY user_id ORDER BY us
-                ROWS UNBOUNDED PRECEDING) AS sid
-              FROM w)
-            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
-              make_timestamp(min(us)) AS session_start,
-              make_timestamp(max(us)) AS session_end,
-              count(*) AS n_events,
-              floor(sum(value) * 1000000 + 0.5) / 1000000 AS value_sum
-            FROM s GROUP BY 1, 2
-        """,
+        "sessionize": _SESSION_SQL,
         "quantile_rollup": """
             SELECT user_id, count(*) AS n,
               floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
@@ -851,4 +878,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
         """,
+        # chunked sessionize is output-identical to the plain variant
+        # by construction (pinned in pytest), so it checks against the
+        # same ANSI session SQL
+        "sessionize_chunked": _SESSION_SQL,
     }

@@ -39,11 +39,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 120k convs ~ 28.6M turns: large enough that steady-state work
-# dominates the per-stage fixed costs on the 4-thread leg (at 30k the
-# same code measured 0.62 efficiency purely from overhead dilution,
-# 60k measured 0.78; round-1 saw the same effect and used >=7M turns)
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))
+# 60k convs ~ 14.3M turns: the smallest size where steady-state work
+# dominates the 4-thread leg's fixed costs (round-1/2 ladders: 30k
+# measured 0.62 purely from overhead dilution, 60k 0.78-0.81 — round 2
+# validated steady state here). Round 3 doubled it to 120k, which
+# doubled per-pair cost and truncated the ladder to ONE clean pair
+# inside the wall-clock budget (VERDICT r03 #1) — the artifact needs
+# >=3 pairs far more than it needs a bigger input.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 
@@ -261,10 +264,12 @@ def _build(cpus: int):
     return s
 
 
-def run_rollup_job(spark, n_convs: int) -> dict:
+def run_rollup_job(spark, n_convs: int, reps: int = 2) -> dict:
     """The scaling workload: JVM-generated transcripts -> checks -> 3
-    rollup tiers. One warmup iteration (JIT/codegen), then best-of-2
-    steady-state.
+    rollup tiers. One warmup iteration (JIT/codegen), then
+    best-of-``reps`` steady-state (the scaling ladder drops to reps=1
+    when the wall-clock budget would otherwise truncate the pair
+    count — see the budget triage in main()).
 
     The input is written to tmpfs PARQUET once (outside the timed
     window) and scanned per pass, NOT kept as a deserialized in-memory
@@ -327,7 +332,7 @@ def run_rollup_job(spark, n_convs: int) -> dict:
 
     job()  # warmup
     best, points, n_checked = float("inf"), 0, 0
-    for _ in range(2):
+    for _ in range(max(reps, 1)):
         t0 = time.time()
         points, n_checked = job()
         best = min(best, time.time() - t0)
@@ -370,19 +375,19 @@ def host_probe(n: int) -> dict:
     return out
 
 
-def _worker(cpus: int, n_convs: int) -> None:
+def _worker(cpus: int, n_convs: int, reps: int = 2) -> None:
     spark = _build(cpus)
-    out = run_rollup_job(spark, n_convs)
+    out = run_rollup_job(spark, n_convs, reps=reps)
     spark.stop()
     # input cleanup happens in the parent after the LAST worker (the
     # pre-generated table is shared across all scaling legs)
     print("WORKER_RESULT " + json.dumps(out))
 
 
-def _spawn_worker(cpus: int, n_convs: int) -> dict:
+def _spawn_worker(cpus: int, n_convs: int, reps: int = 2) -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--rollup-worker",
-         str(cpus), str(n_convs)],
+         str(cpus), str(n_convs), str(reps)],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -398,7 +403,11 @@ def _spawn_worker(cpus: int, n_convs: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--rollup-worker":
-        _worker(int(sys.argv[2]), int(sys.argv[3]))
+        _worker(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            int(sys.argv[4]) if len(sys.argv) > 4 else 2,
+        )
         return
 
     import __spark_entry__ as entrymod
@@ -425,14 +434,16 @@ def main() -> None:
         # per-pair ladder in the JSON, and an efficiency normalized by
         # the same-window host ceiling next to the raw number.
         los, his, probes, ladder = [], [], [], []
+        leg_reps = 2
 
         def _run_pair():
             # probe BOTH edges of the pair (the legs take minutes; a
             # single pre-pair probe can miss a throttle that starts
             # mid-leg) and use the mean as the pair's window ceiling
+            t_pair = time.time()
             hp_a = host_probe(SCALE_N)
-            lo = _spawn_worker(SCALE_N, BENCH_CONVS)
-            hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS)
+            lo = _spawn_worker(SCALE_N, BENCH_CONVS, reps=leg_reps)
+            hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS, reps=leg_reps)
             hp_b = host_probe(SCALE_N)
             hp_eff = round(
                 (hp_a["efficiency_n_to_4n"] + hp_b["efficiency_n_to_4n"]) / 2,
@@ -452,6 +463,8 @@ def main() -> None:
                     "pair_efficiency": round(
                         hi["points_per_sec"] / lo["points_per_sec"] / 4.0, 3
                     ),
+                    "pair_seconds": round(time.time() - t_pair, 1),
+                    "leg_reps": leg_reps,
                 }
             )
 
@@ -513,16 +526,39 @@ def main() -> None:
             return time.time() - t_scaling < budget_s
 
         try:
-            for _ in range(SCALE_PAIRS):
+            # The ladder must deliver >= SCALE_PAIRS pairs with >= 2
+            # host-clean among them. Round 3's budget arithmetic let
+            # the loop exit after 2 pairs (1 clean) — a one-pair
+            # "average" recorded as the headline (VERDICT r03 #1). Now:
+            # after each pair, if finishing the protocol minimum at the
+            # measured per-pair cost would blow the remaining budget,
+            # drop the legs to single-rep (warmup + 1 timed run, ~2/3
+            # the cost; both legs of a pair always share a reps value,
+            # so pair efficiency stays internally consistent) rather
+            # than truncating the pair count. If the ladder still comes
+            # up short, the JSON says so loudly (pairs_insufficient).
+            while True:
                 _run_pair()
+                n_att = len(probes)
+                if n_att >= 6:
+                    break
+                wild = _spread(los) > 1.35 or _spread(his) > 1.35
+                need_more = (
+                    n_att < SCALE_PAIRS
+                    or len(_clean_ids()) < 2
+                    or (wild and n_att == SCALE_PAIRS)
+                )
+                if not need_more:
+                    break
                 if not _within_budget():
                     break
-            if (_spread(los) > 1.35 or _spread(his) > 1.35) and _within_budget():
-                _run_pair()  # one extra alternation on a wild window
-            while (
-                len(_clean_ids()) < 2 and len(probes) < 6 and _within_budget()
-            ):
-                _run_pair()
+                pairs_left = max(
+                    SCALE_PAIRS - n_att, 2 - len(_clean_ids()), 1
+                )
+                budget_left = budget_s - (time.time() - t_scaling)
+                pair_cost = ladder[-1]["pair_seconds"]
+                if leg_reps > 1 and pairs_left * pair_cost > budget_left:
+                    leg_reps = 1
         finally:
             # a failed/timed-out worker must not strand 28M rows of
             # parquet (or a dead JVM's shuffle spills) on tmpfs (RAM)
@@ -532,6 +568,9 @@ def main() -> None:
                 "/dev/shm/spark-bench-tmp",
             ):
                 shutil.rmtree(d, ignore_errors=True)
+        # loud shortfall marker: a truncated or all-dirty ladder is an
+        # evidence-capture failure and must not masquerade as a result
+        insufficient = len(probes) < SCALE_PAIRS or len(_clean_ids()) < 2
         clean = _clean_ids() or list(range(len(probes)))
         eff_all = (_avg(his) / _avg(los)) / 4.0
         los_c = [los[i] for i in clean]
@@ -548,7 +587,7 @@ def main() -> None:
         hi["turns_per_sec"] = round(
             sum(r["turns_per_sec"] for r in his_c) / len(his_c), 1
         )
-        scaling = (lo, hi, eff, eff_all, clean, host_eff, ladder)
+        scaling = (lo, hi, eff, eff_all, clean, host_eff, ladder, insufficient)
 
     spark = _build(CPUS)
     # Warm up codegen + Python workers once so the first measured query
@@ -568,6 +607,12 @@ def main() -> None:
     qs = {**entrymod.queries(), **_extra_queries()}
     times: dict[str, float] = {}
     total = 0.0
+    # Host provenance for the headline block (VERDICT r03 #2): the
+    # per-query numbers were unadjudicable round-over-round because,
+    # unlike the scaling ladder, nothing recorded the host's own speed
+    # in the same window. One probe at each edge of the block makes a
+    # throttled window visible next to the numbers it throttled.
+    headline_probe_pre = host_probe(SCALE_N)
     for name in [
         *HEADLINE,
         "embedding_near_dup_lsh",
@@ -575,22 +620,26 @@ def main() -> None:
         "quantile_rollup_approx",
     ]:
         fn = qs[name]
-        best = float("inf")
+        reps = []
         # First execution of a plan pays one-time codegen/GC costs that
         # dwarf these queries (observed 3s-steady-state queries at
-        # 10-66s cold, order-dependent); steady state is what scales.
-        # Same warmup + best-of-2 protocol as the pipeline metric.
-        for _ in range(2):
+        # 10-66s cold, order-dependent); the MEDIAN of 3 reps discards
+        # the cold outlier without letting one lucky window undercut
+        # the number the way best-of did (VERDICT r03 #2).
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            reps.append(time.time() - t0)
             # LSH/candidate queries persist intermediates for their
-            # self-joins; drop them so 2 reps x 14 queries don't pile
-            # cached blocks into executor storage (ADVICE r02)
+            # self-joins; drop them so 3 reps x 17 queries don't pile
+            # cached blocks into executor storage (ADVICE r02), and so
+            # every rep pays the full kernel cost (no cached-signature
+            # rep understating the cache-heavy queries)
             release_caches(df)
-        times[name] = round(best, 3)
+        times[name] = round(sorted(reps)[1], 3)
         total += times[name]
+    headline_probe_post = host_probe(SCALE_N)
 
     compressed = pipeline_compressed_bench(spark)
     spark.stop()
@@ -603,6 +652,14 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "queries_protocol": "median_of_3_cache_released",
+        # Spark-free spin throughput at both edges of the headline
+        # block: mops_* are absolute (comparable across rounds), the
+        # efficiency shows whether the window could even scale
+        "host_probe": {
+            "pre": headline_probe_pre,
+            "post": headline_probe_post,
+        },
         "sf": SF_DIR,
         "cpus": CPUS,
         "gorilla_codec": gorilla_codec_bench(),
@@ -610,12 +667,13 @@ def main() -> None:
     }
 
     if scaling is not None:
-        lo, hi, eff, eff_all, clean, host_eff, ladder = scaling
+        lo, hi, eff, eff_all, clean, host_eff, ladder, insufficient = scaling
         result["pipeline"] = hi
         result["scaling"] = {
             "convs": BENCH_CONVS,
             "n": SCALE_N,
             "attempts": len(ladder),
+            "pairs_insufficient": insufficient,
             "ladder": ladder,
             # headline efficiency = averaged over HOST-CLEAN pairs
             # (same-window spin probe >= host_clean_threshold); the
