@@ -39,14 +39,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 60k convs ~ 14.3M turns: the smallest size where steady-state work
-# dominates the 4-thread leg's fixed costs (round-1/2 ladders: 30k
-# measured 0.62 purely from overhead dilution, 60k 0.78-0.81 — round 2
-# validated steady state here). Round 3 doubled it to 120k, which
-# doubled per-pair cost and truncated the ladder to ONE clean pair
-# inside the wall-clock budget (VERDICT r03 #1) — the artifact needs
-# >=3 pairs far more than it needs a bigger input.
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
+# 120k convs ~ 28.6M turns. Round 4 re-measured the 60k alternative
+# the round-3 verdict suggested and it no longer reaches steady state:
+# a 4-pair clean ladder at 60k recorded pair efficiencies 0.60-0.74
+# with per-job decomposition t4 = C/4 + F, t16 = C/16 + F giving
+# C ~= 320s, F ~= 11s of fixed per-job cost (scan listing + stage
+# scheduling + 3 tier actions) — an efficiency CEILING of ~0.73 at
+# that size no matter how well the engine scales. At 120k the same F
+# against 2x the compute lifts the ceiling to ~0.84, matching the
+# 0.78-0.86 clean pairs rounds 1-3 measured there. The round-3 budget
+# truncation is handled by leg-rep triage in the ladder loop instead
+# of by shrinking the input below steady state.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 
@@ -358,12 +362,43 @@ def _spin(_arg) -> int:
     return c
 
 
+def _memcpy(_arg) -> float:
+    """Aggregate memory-copy throughput (bytes/s) for one process —
+    the bandwidth analog of _spin. Arrays are touched once before the
+    timed loop (first-touch on this VM is ~400 MB/s and would swamp
+    the measurement)."""
+    import time as _t
+
+    import numpy as np
+
+    a = np.ones(4_000_000)  # 32 MB, well past LLC
+    b = np.empty_like(a)
+    np.copyto(b, a)
+    t0 = _t.perf_counter()
+    it = 0
+    while _t.perf_counter() - t0 < 1.5:
+        np.copyto(b, a)
+        it += 1
+    return it * a.nbytes * 2 / (_t.perf_counter() - t0)
+
+
 def host_probe(n: int) -> dict:
-    """Spark-free CPU-scaling calibration: aggregate spin throughput at
-    N and 4N processes. Reported alongside the Spark efficiency so a
-    host whose own scaling ceiling moved between rounds (SMT topology,
-    steal, turbo bins — all observed on this sandbox) is visible in the
-    same JSON instead of silently distorting the engine's number."""
+    """Spark-free host calibration at N and 4N processes, on BOTH
+    resources the workload consumes:
+
+    - CPU (spin loops, register-bound): ``mops_*`` +
+      ``efficiency_n_to_4n``. Catches steal/turbo/SMT effects.
+    - memory bandwidth (warmed 32 MB memcpy): ``gbps_*`` +
+      ``bw_efficiency_n_to_4n``. Catches the ceiling the CPU probe is
+      blind to: this box's aggregate copy bandwidth scales 4->16 procs
+      at only ~0.5 (85 -> 171 GB/s measured), so any scan/shuffle-bound
+      stage CANNOT scale past ~0.5 here no matter how well the engine
+      would scale across real executors, each of which brings its own
+      memory channels.
+
+    Reported alongside the Spark efficiency so a host whose own
+    ceilings moved between rounds (or mid-pair) is visible in the same
+    JSON instead of silently distorting the engine's number."""
     import multiprocessing as mp
 
     out = {}
@@ -371,7 +406,13 @@ def host_probe(n: int) -> dict:
         with mp.Pool(procs) as p:
             res = p.map(_spin, range(procs))
         out[f"mops_{procs}"] = round(sum(res) / 1.5 / 1e6, 1)
+        with mp.Pool(procs) as p:
+            bw = p.map(_memcpy, range(procs))
+        out[f"gbps_{procs}"] = round(sum(bw) / 1e9, 1)
     out["efficiency_n_to_4n"] = round(out[f"mops_{4 * n}"] / out[f"mops_{n}"] / 4, 3)
+    out["bw_efficiency_n_to_4n"] = round(
+        out[f"gbps_{4 * n}"] / out[f"gbps_{n}"] / 4, 3
+    )
     return out
 
 
@@ -434,22 +475,36 @@ def main() -> None:
         # per-pair ladder in the JSON, and an efficiency normalized by
         # the same-window host ceiling next to the raw number.
         los, his, probes, ladder = [], [], [], []
-        leg_reps = 2
+        leg_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
 
         def _run_pair():
-            # probe BOTH edges of the pair (the legs take minutes; a
-            # single pre-pair probe can miss a throttle that starts
-            # mid-leg) and use the mean as the pair's window ceiling
+            # probe BOTH edges AND the midpoint of the pair: round 4
+            # caught a pair whose two edge probes were both in-band
+            # while the host sped up BETWEEN the legs (slow-window N
+            # leg, fast-window 4N leg -> pair "efficiency" 1.167), and
+            # another where a throttle started mid-4N-leg (0.522). The
+            # mid probe plus an absolute-speed stationarity gate (the
+            # scaling-efficiency band alone cannot see a slow-but-
+            # scaling window flip to fast-but-scaling) kills both.
             t_pair = time.time()
             hp_a = host_probe(SCALE_N)
             lo = _spawn_worker(SCALE_N, BENCH_CONVS, reps=leg_reps)
+            hp_m = host_probe(SCALE_N)
             hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS, reps=leg_reps)
             hp_b = host_probe(SCALE_N)
-            hp_eff = round(
-                (hp_a["efficiency_n_to_4n"] + hp_b["efficiency_n_to_4n"]) / 2,
-                3,
+            edges = (hp_a, hp_m, hp_b)
+            effs = [h["efficiency_n_to_4n"] for h in edges]
+            mops_hi = [h[f"mops_{4 * SCALE_N}"] for h in edges]
+            clean = all(
+                HOST_CLEAN_LO <= e <= HOST_CLEAN_HI for e in effs
+            ) and max(mops_hi) / max(min(mops_hi), 1e-9) <= STATIONARY_SPREAD
+            hp_eff = round(sum(effs) / 3, 3)
+            bw_eff = round(
+                sum(h["bw_efficiency_n_to_4n"] for h in edges) / 3, 3
             )
-            probes.append({"efficiency_n_to_4n": hp_eff})
+            probes.append(
+                {"efficiency_n_to_4n": hp_eff, "clean": clean, "bw": bw_eff}
+            )
             los.append(lo)
             his.append(hi)
             ladder.append(
@@ -457,7 +512,11 @@ def main() -> None:
                     "pair": len(ladder) + 1,
                     "host_probe_eff": hp_eff,
                     "host_probe_pre": hp_a["efficiency_n_to_4n"],
+                    "host_probe_mid": hp_m["efficiency_n_to_4n"],
                     "host_probe_post": hp_b["efficiency_n_to_4n"],
+                    f"host_mops_{4 * SCALE_N}": mops_hi,
+                    "host_bw_eff": bw_eff,
+                    "host_clean": clean,
                     f"pts_per_sec_local{SCALE_N}": lo["points_per_sec"],
                     f"pts_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
                     "pair_efficiency": round(
@@ -475,20 +534,19 @@ def main() -> None:
             v = [r["points_per_sec"] for r in rs]
             return max(v) / min(v)
 
-        # A pair whose SAME-WINDOW host probe cannot scale (16 spinners
-        # < 3.2x the throughput of 4 — pure CPU, no Spark) measures the
-        # host's steal/contention, not the engine: no engine can show
-        # 0.8 N->4N while the hardware shows 0.5 (observed probes as
-        # low as 0.52 on this burstable host). The gate is BOUNDED on
-        # both sides: a probe ABOVE ~1.05 means the window sped up
-        # mid-pair (observed 1.27 — turbo/credit refill between the
-        # probe's two halves), which inflates pair efficiency just as
-        # dishonestly as a throttle deflates it. The headline
-        # efficiency averages the HOST-CLEAN pairs (0.8 <= probe <=
-        # 1.05); the all-pairs number, every pair, and every probe
-        # stay in the JSON so the selection is fully auditable. Extra
-        # pairs run until >= 2 clean ones exist (cap 6 total).
+        # A pair is HOST-CLEAN only if the window was both SCALABLE and
+        # STATIONARY: every one of its three probes' scaling
+        # efficiencies sits in [0.8, 1.05] (a probe below measures
+        # steal/contention — no engine can show 0.8 while the hardware
+        # shows 0.5; a probe above means the window shifted between the
+        # probe's own halves), AND the absolute 4N spin throughput
+        # varies by <= 1.25x across pre/mid/post (round 4: a window
+        # that merely CHANGED SPEED between the N and 4N legs passed
+        # the band on both edges while inflating pair efficiency to
+        # 1.167). The all-pairs number, every pair, and every probe
+        # stay in the JSON so the selection is fully auditable.
         HOST_CLEAN_LO, HOST_CLEAN_HI = 0.8, 1.05
+        STATIONARY_SPREAD = 1.25
 
         # pre-generate the shared scaling input ONCE at full
         # parallelism; workers reuse it (seeded => identical)
@@ -508,18 +566,14 @@ def main() -> None:
         gen_spark.stop()
 
         def _clean_ids():
-            return [
-                i
-                for i, p in enumerate(probes)
-                if HOST_CLEAN_LO <= p["efficiency_n_to_4n"] <= HOST_CLEAN_HI
-            ]
+            return [i for i, p in enumerate(probes) if p["clean"]]
 
         # Adaptive pairs stop at a wall-clock budget as well as the
         # pair cap: the artifact must EXIST even on a hostile host — a
         # bench killed by the harness timeout records nothing, which is
         # strictly worse than an artifact whose ladder shows dirty
         # windows.
-        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2700"))
+        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "3000"))
         t_scaling = time.time()
 
         def _within_budget():
@@ -540,7 +594,7 @@ def main() -> None:
             while True:
                 _run_pair()
                 n_att = len(probes)
-                if n_att >= 6:
+                if n_att >= 8:
                     break
                 wild = _spread(los) > 1.35 or _spread(his) > 1.35
                 need_more = (
@@ -576,7 +630,17 @@ def main() -> None:
         los_c = [los[i] for i in clean]
         his_c = [his[i] for i in clean]
         eff = (_avg(his_c) / _avg(los_c)) / 4.0
+        pair_effs_c = sorted(
+            ladder[i]["pair_efficiency"] for i in clean
+        )
+        median_eff = pair_effs_c[len(pair_effs_c) // 2] if (
+            len(pair_effs_c) % 2
+        ) else sum(pair_effs_c[len(pair_effs_c) // 2 - 1 : len(pair_effs_c) // 2 + 1]) / 2
         host_eff = sum(p["efficiency_n_to_4n"] for p in probes) / len(probes)
+        host_eff_clean = sum(
+            probes[i]["efficiency_n_to_4n"] for i in clean
+        ) / len(clean)
+        host_bw_eff = sum(p["bw"] for p in probes) / len(probes)
         lo = dict(max(los_c, key=lambda r: r["points_per_sec"]))
         hi = dict(max(his_c, key=lambda r: r["points_per_sec"]))
         lo["points_per_sec"] = round(_avg(los_c), 1)
@@ -587,7 +651,10 @@ def main() -> None:
         hi["turns_per_sec"] = round(
             sum(r["turns_per_sec"] for r in his_c) / len(his_c), 1
         )
-        scaling = (lo, hi, eff, eff_all, clean, host_eff, ladder, insufficient)
+        scaling = (
+            lo, hi, eff, eff_all, clean, host_eff, ladder, insufficient,
+            median_eff, host_eff_clean, host_bw_eff,
+        )
 
     spark = _build(CPUS)
     # Warm up codegen + Python workers once so the first measured query
@@ -667,7 +734,10 @@ def main() -> None:
     }
 
     if scaling is not None:
-        lo, hi, eff, eff_all, clean, host_eff, ladder, insufficient = scaling
+        (
+            lo, hi, eff, eff_all, clean, host_eff, ladder, insufficient,
+            median_eff, host_eff_clean, host_bw_eff,
+        ) = scaling
         result["pipeline"] = hi
         result["scaling"] = {
             "convs": BENCH_CONVS,
@@ -681,18 +751,28 @@ def main() -> None:
             # selection auditable
             "pairs_used": [i + 1 for i in clean],
             "host_clean_band": [0.8, 1.05],
+            "host_stationary_spread_max": 1.25,
             f"throughput_points_per_sec_local{SCALE_N}": lo["points_per_sec"],
             f"throughput_points_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
             f"turns_per_sec_local{SCALE_N}": lo["turns_per_sec"],
             f"turns_per_sec_local{4 * SCALE_N}": hi["turns_per_sec"],
             "efficiency_n_to_4n": round(eff, 3),
             "efficiency_all_pairs": round(eff_all, 3),
-            # the host's own N->4N ceiling averaged over the same
-            # windows (spin probe, Spark-free): engine efficiency
-            # divided by it says how much of the achievable scaling
-            # the engine captured
+            "median_pair_efficiency": round(median_eff, 3),
+            # the host's own N->4N ceilings averaged over the same
+            # windows (Spark-free): CPU spin — steal/turbo/SMT — and
+            # memory bandwidth, which on this box scales 4->16 procs
+            # at only ~0.5 (85 -> 171 GB/s) and bounds every
+            # scan/shuffle-bound stage regardless of engine quality
+            # (real clusters add memory channels with every executor;
+            # one VM does not). Engine efficiency divided by the CPU
+            # ceiling over the SAME (clean) windows says how much of
+            # the achievable scaling the engine captured.
             "host_efficiency_same_windows": round(host_eff, 3),
-            "efficiency_vs_host_ceiling": round(eff_all / host_eff, 3),
+            "host_efficiency_clean_windows": round(host_eff_clean, 3),
+            "host_bw_efficiency_same_windows": round(host_bw_eff, 3),
+            "efficiency_vs_host_ceiling": round(eff / host_eff_clean, 3),
+            "efficiency_all_vs_host_ceiling": round(eff_all / host_eff, 3),
         }
 
     print(json.dumps(result))
