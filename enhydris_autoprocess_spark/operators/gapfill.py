@@ -67,7 +67,14 @@ def complete_grid(
     the per-key grid anchor.
     """
     step_us = step.micros
-    src = df.withColumn("__us", ts_micros(F.col(ts_col)))
+    # __src marks rows that came from the input: "inserted grid row" is
+    # detected by the marker being NULL after the join, NOT by NULL
+    # flags — a real source row whose flags column happens to be NULL
+    # must keep its identity (normalized to '', matching the fused
+    # path's pre-sort coalesce) instead of being rebranded DATEINSERT.
+    src = df.withColumn("__us", ts_micros(F.col(ts_col))).withColumn(
+        "__src", F.lit(True)
+    )
     spans = src.groupBy(key_col).agg(
         F.min("__us").alias("__g0"), F.max("__us").alias("__g1")
     )
@@ -85,15 +92,15 @@ def complete_grid(
         .withColumn(ts_col, F.timestamp_micros(F.col("__us")))
         .withColumn(
             flags_col,
-            F.when(F.col(flags_col).isNull(), F.lit(new_date_flag)).otherwise(
-                F.col(flags_col)
+            F.when(F.col("__src").isNull(), F.lit(new_date_flag)).otherwise(
+                F.coalesce(F.col(flags_col), F.lit(""))
             ),
         )
         .withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))
     )
     if mark_offgrid is not None:
         out = out.withColumn(mark_offgrid, F.col("__ongrid").isNull())
-    return out.drop("__us", "__ongrid")
+    return out.drop("__us", "__ongrid", "__src")
 
 
 def _fill_block(
@@ -428,11 +435,17 @@ def gap_fill(
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # (value, flags) tie-break keys make the duplicate-(key, ts) slot
     # election deterministic: the LAST row per slot wins in _fill_block,
-    # so without them the winner depended on arbitrary shuffle order
-    # (Spark and pandas both sort NaN after all numbers, so the fused
-    # and chunked elections agree even with NaN duplicates).
+    # so without them the winner depended on arbitrary shuffle order.
+    # Value is coalesced to NaN and flags to '' BEFORE the sort: Spark
+    # sorts NULL before all numbers while pandas sorts NaN (what
+    # complete_grid turns NULL into) after them, so a NULL-value
+    # duplicate would elect a different winner in the fused vs chunked
+    # variant without the normalization (NULL and NaN are the same
+    # "missing" per the contract above, so this changes no semantics).
     out = (
-        df.repartition(n_parts, key_col)
+        df.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(NAN)))
+        .withColumn(flags_col, F.coalesce(F.col(flags_col), F.lit("")))
+        .repartition(n_parts, key_col)
         .sortWithinPartitions(key_col, ts_col, value_col, flags_col)
         .mapInPandas(fill_stream, schema=schema)
     )

@@ -284,12 +284,17 @@ def _encode_fields(
 ) -> tuple[list[np.ndarray], list[np.ndarray]] | None:
     """(field values, field widths) for one chunk's v2 bitstream, or
     None when the chunk needs the scalar v1 fallback (pathological dods
-    where vectorized zigzag could wrap: |dod| >= 2^60)."""
+    where vectorized zigzag could wrap: |dod| >= 2^60). The predicate
+    is the overflow-safe two-sided compare shared with
+    ``encode_chunks_multi`` — ``np.abs(int64-min)`` wraps negative and
+    would silently keep such a chunk on v2 (ADVICE r04)."""
     n = len(ts_us)
     t = ts_us.astype(np.int64)
     deltas = np.diff(t)
     dods = np.diff(deltas)
-    if len(dods) and int(np.abs(dods).max()) >= (1 << 60):
+    if len(dods) and bool(
+        ((dods >= (1 << 60)) | (dods <= -(1 << 60))).any()
+    ):
         return None
 
     fields_v: list[np.ndarray] = []

@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_DAY_US = 86_400_000_000  # one UTC day in epoch-micros
+
 
 @dataclass
 class Snapshot:
@@ -143,8 +145,18 @@ class TierTable:
             self.partition_days_col is not None
             and self.partition_days_col in df.columns
         ):
+            # Timezone-independent day derivation (ADVICE r04):
+            # to_date(timestamp_micros(...)) applies the SESSION
+            # timezone, while retention's cutoff day is computed in
+            # UTC — with a session tz west of UTC a chunk at/after the
+            # cutoff could land in a day directory expire() drops.
+            # floor-divide micros by a UTC day instead, so the file
+            # layout and the UTC cutoff-day comparison always agree.
             df = df.withColumn(
-                "__day", F.to_date(F.timestamp_micros(self._part_micros(df)))
+                "__day",
+                F.date_from_unix_date(
+                    F.floor(self._part_micros(df) / F.lit(_DAY_US)).cast("int")
+                ),
             )
             parts.insert(0, "__day")
         writer = df.write.mode("errorifexists")
@@ -263,8 +275,12 @@ class TierTable:
         df = reduce(lambda a, b: a.unionByName(b), parts)
         if "__day" in df.columns:
             if min_ts_us is not None:
+                # UTC day, matching append()'s timezone-independent
+                # __day derivation (session-tz to_date would prune the
+                # wrong directories for non-UTC sessions)
                 df = df.where(
-                    F.col("__day") >= F.to_date(F.timestamp_micros(F.lit(min_ts_us)))
+                    F.col("__day")
+                    >= F.date_from_unix_date(F.lit(min_ts_us // _DAY_US).cast("int"))
                 )
             df = df.drop("__day")
         return df

@@ -25,6 +25,27 @@ from pyspark.sql import functions as F
 from ..schema import TRANSCRIPT_SCHEMA
 
 
+def await_or_stop(q, timeout_sec: int) -> None:
+    """``awaitTermination`` that surfaces a timeout (ADVICE r04).
+
+    ``StreamingQuery.awaitTermination(timeout)`` returns False on
+    timeout with the query STILL RUNNING — ignoring it made a hung
+    catch-up run look like success while the live stream kept holding
+    the checkpoint lock. On timeout: stop the query, then raise."""
+    if not q.awaitTermination(timeout_sec):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} did not finish within "
+                f"{timeout_sec}s; stopped"
+            )
+    # surface any terminal failure (awaitTermination(timeout) swallows
+    # the exception path when called with a timeout on some versions)
+    if q.exception() is not None:
+        raise q.exception()
+
+
 def streaming_rollup(
     stream: DataFrame,
     step: str = "1 minute",
@@ -102,4 +123,4 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_or_stop(q, timeout_sec)

@@ -91,4 +91,6 @@ def run_sessionize_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    from .rollup_stream import await_or_stop
+
+    await_or_stop(q, timeout_sec)

@@ -208,6 +208,13 @@ def test_duplicate_slot_election_deterministic_and_variant_identical(spark):
         # gets interpolated while 60.0 passes through
         ("k", t + dt.timedelta(minutes=6), 60.0, ""),
         ("k", t + dt.timedelta(minutes=6), NAN, "N"),
+        # NULL duplicate at minute 8 (ADVICE r04): NULL is in-contract
+        # "missing" like NaN, but Spark sorts NULL before all numbers
+        # while pandas (post-complete_grid, NULL already NaN) sorts it
+        # after — the fused path now coalesces NULL->NaN before its
+        # sort so both variants elect the NULL row as the slot winner
+        ("k", t + dt.timedelta(minutes=8), 80.0, ""),
+        ("k", t + dt.timedelta(minutes=8), None, "Z"),
         ("k", t + dt.timedelta(minutes=9), 90.0, ""),
     ]
     df = spark.createDataFrame(
@@ -221,7 +228,7 @@ def test_duplicate_slot_election_deterministic_and_variant_identical(spark):
         chunked = gap_fill(
             df, step, max_gap_slots=5, chunk_span_slots=50
         ).orderBy("ts", "value", "flags").collect()
-        assert len(fused) == len(chunked) == 12  # 10 slots + 2 losers
+        assert len(fused) == len(chunked) == 13  # 10 slots + 3 losers
         for ra, rb in zip(fused, chunked):
             assert (ra.ts, ra.flags) == (rb.ts, rb.flags)
             assert (
@@ -239,6 +246,12 @@ def test_duplicate_slot_election_deterministic_and_variant_identical(spark):
         assert [r.flags for r in m6] == ["", "N FILLED"]
         assert m6[0].value == 60.0
         assert m6[1].value == pytest.approx(41.0 + (90.0 - 41.0) / 2)
+        # minute-8 slot: the NULL row won -> interpolated between the
+        # minute-3 and minute-9 anchors; the 80.0 loser passes through
+        m8 = sorted(by[t + dt.timedelta(minutes=8)], key=lambda r: r.value)
+        assert [r.flags for r in m8] == ["", "Z FILLED"]
+        assert m8[0].value == 80.0
+        assert m8[1].value == pytest.approx(41.0 + (90.0 - 41.0) * 5 / 6)
 
 
 @pytest.mark.parametrize("impl", [gap_fill, gap_fill_sql], ids=["pandas", "sql"])

@@ -459,6 +459,53 @@ def test_retention_day_granular_expiry_compressed_tier(spark, tmp_path):
     assert remaining.count() > 0  # Jan-3-ending chunks survive
 
 
+def test_day_partitioning_is_utc_under_non_utc_session(spark, tmp_path):
+    """ADVICE r04: __day was derived via to_date(timestamp_micros(...)),
+    which applies the SESSION timezone, while retention's cutoff day is
+    UTC — west-of-UTC sessions could file a keep-side chunk into a day
+    directory expire() drops. __day now floor-divides epoch micros, so
+    the file layout is UTC regardless of session timezone."""
+    import glob
+    import os
+
+    from enhydris_autoprocess_spark.storage.retention import expire
+
+    # chunk_end_us 2025-01-02 00:30 UTC = 2025-01-01 16:30 LA time:
+    # the old derivation would have filed it under __day=2025-01-01
+    # and a Jan-2-cutoff expire would have dropped a keep-side chunk
+    end_us = int(
+        dt.datetime(2025, 1, 2, 0, 30, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    rows = [("k", 3, end_us - 600_000_000, end_us, bytearray(b"\x00") * 8)]
+    df = spark.createDataFrame(
+        rows,
+        "key string, n int, chunk_start_us long, chunk_end_us long, blob binary",
+    )
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/Los_Angeles")
+    try:
+        root = str(tmp_path / "tz")
+        t = TierTable(root, partition_days_col="chunk_end_us")
+        t.append(df)
+        days = sorted(
+            os.path.basename(p) for p in glob.glob(f"{root}/data/*/__day=*")
+        )
+        assert days == ["__day=2025-01-02"]  # UTC day, not LA day
+        # cutoff midnight Jan 2 UTC: the chunk ends at/after it -> kept
+        cutoff_us = int(
+            dt.datetime(2025, 1, 2, tzinfo=dt.timezone.utc).timestamp() * 1e6
+        )
+        stats = expire(t, cutoff_us)
+        assert stats["days_dropped"] == 0
+        assert t.read(spark).count() == 1
+        # read-side pruning uses the same UTC day: a min_ts_us inside
+        # the chunk's day must not prune its directory
+        assert t.read(spark, min_ts_us=end_us - 1).count() == 1
+    finally:
+        spark.conf.set(tz_key, old_tz)
+
+
 def test_hot_key_chunking_identical_output(spark, transcripts, tmp_path):
     """VERDICT r02 #5: the hot-key chunked modes (chunked rocc windows +
     gap_fill_auto routing) are now the production default. A pipeline
@@ -546,6 +593,19 @@ def test_gorilla_multi_encode_byte_identical():
     assert out[2][2] == encode_chunk_fast(ts_parts[5], v_parts[5])
     dt_, dv = decode_chunk(out[1][2])
     assert np.array_equal(dt_, t_bad) and np.array_equal(dv, v_bad)
+
+    # dod == int64-min (ADVICE r04): np.abs overflows negative there,
+    # so encode_chunk_fast's old |dod|-max predicate stayed on v2 while
+    # the multi path's two-sided compare fell back to v1 — both now
+    # share the overflow-safe predicate and must stay byte-identical
+    t_min = np.array([0, 1 << 62, 0], dtype=np.int64)
+    v_min = np.array([1.0, 2.0, 3.0])
+    (st_m, n_m, blob_m), = encode_chunks_multi(
+        t_min, v_min, np.array([0]), np.array([3])
+    )
+    assert blob_m == encode_chunk_fast(t_min, v_min)
+    dt_m, dv_m = decode_chunk(blob_m)
+    assert np.array_equal(dt_m, t_min) and np.array_equal(dv_m, v_min)
 
 
 def test_gorilla_batch_decode_matches_per_chunk():
