@@ -8,29 +8,48 @@ ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "pipeline": {...}, "scaling": {...}}
 
+Evidence-capture contract (VERDICT r04 #1-3: the round-4 bench was
+killed by the harness' 1-hour timeout having printed NOTHING):
+
+- The WHOLE run spends a single top-down wall-clock budget,
+  ``SPARK_GRAFT_TOTAL_BUDGET_S`` (default 3300 s, inside the driver's
+  3600 s window). Sections run in evidence-priority order — codec
+  micro, scaling ladder, headline queries, compressed pipeline — and
+  each section checks the remaining budget before (and the ladder
+  inside) itself; what doesn't fit is SKIPPED with a loud marker, not
+  silently truncated mid-flight.
+- Results accumulate in one dict that is flushed to the sidecar file
+  ``bench_partial.json`` after every completed section, and a SIGALRM
+  backstop slightly past the budget prints the accumulated JSON line
+  and exits 0 — so even a pathological stall records every section
+  that finished instead of forfeiting all of them.
+
 Scaling evidence (BASELINE.json: efficiency >= 0.8 from N to 4N
 executors; no real cluster in this sandbox): the same rollup job runs
 in fresh subprocess JVMs at local[N] and local[4N] on the same
-JVM-generated input (generation + cache excluded from the timed
-window; one warmup run for JIT/codegen, then best-of-2), in >= 3
-alternating N/4N pairs with a Spark-free host probe sampled in each
-pair's window. efficiency = (avg throughput_4N / avg throughput_N)/4;
-the JSON carries the full per-pair ladder plus the efficiency
-normalized by the same-window host ceiling.
+JVM-generated input, in alternating N/4N pairs with Spark-free host
+probes (CPU spin + memory bandwidth) bracketing each pair. JIT/codegen
+is warmed on a ~1/16 input slice instead of a full-size warmup rep
+(the full warmup doubled every leg's cost and bought nothing a small
+slice doesn't — VERDICT r04 next-round #1b), so a pair costs ~half of
+round 4's. efficiency = median pair efficiency over all pairs; the
+JSON carries the full per-pair ladder plus the efficiency normalized
+by the same-window host ceiling.
 
 N defaults to 4 (pair local[4] vs local[16]): this VM has 32 SMT
 vCPUs over ~16 physical cores — a raw-CPU probe (32 multiprocessing
 spinners) caps 8->32 scaling at ~0.72 regardless of engine, while
 4->16 stays on physical cores (~0.82 raw). Spark adds its own fixed
 overheads, so the input must be large enough that steady-state
-dominates (default ~7M turns). Disable with SPARK_GRAFT_SCALING=0;
-override the pair with SPARK_GRAFT_SCALE_N.
+dominates (~28M turns; see BENCH_CONVS note). Disable with
+SPARK_GRAFT_SCALING=0; override the pair with SPARK_GRAFT_SCALE_N.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -40,19 +59,89 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 120k convs ~ 28.6M turns. Round 4 re-measured the 60k alternative
-# the round-3 verdict suggested and it no longer reaches steady state:
-# a 4-pair clean ladder at 60k recorded pair efficiencies 0.60-0.74
-# with per-job decomposition t4 = C/4 + F, t16 = C/16 + F giving
-# C ~= 320s, F ~= 11s of fixed per-job cost (scan listing + stage
-# scheduling + 3 tier actions) — an efficiency CEILING of ~0.73 at
-# that size no matter how well the engine scales. At 120k the same F
-# against 2x the compute lifts the ceiling to ~0.84, matching the
-# 0.78-0.86 clean pairs rounds 1-3 measured there. The round-3 budget
-# truncation is handled by leg-rep triage in the ladder loop instead
-# of by shrinking the input below steady state.
+# and it no longer reaches steady state: per-job decomposition
+# t = C/cores + F gives C ~= 320s, F ~= 11s of fixed per-job cost at
+# 60k — an efficiency CEILING of ~0.73 no matter how well the engine
+# scales. At 120k the same F against 2x the compute lifts the ceiling
+# to ~0.84, matching the 0.78-0.86 clean pairs rounds 1-3 measured.
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+
+# Top-down wall-clock budget for the WHOLE bench (the driver grants
+# 3600 s and rc=124-kills at the boundary; round 4 recorded nothing).
+TOTAL_BUDGET_S = int(os.environ.get("SPARK_GRAFT_TOTAL_BUDGET_S", "3300"))
+# Wall-clock reserved for everything after the scaling ladder
+# (headline 3-rep block + compressed pipeline + probes): the judge's
+# two round-4 runs measured that tail at ~10-16 min.
+TAIL_RESERVE_S = int(os.environ.get("SPARK_GRAFT_TAIL_RESERVE_S", "1080"))
+
+_T0 = time.monotonic()
+_DEADLINE = _T0 + TOTAL_BUDGET_S
+_SIDECAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_partial.json"
+)
+# one accumulating result dict; every completed section lands here and
+# is immediately flushed to the sidecar (and is what the alarm prints)
+RESULT: dict = {
+    "metric": "headline_queries_total",
+    "value": None,
+    "unit": "sec",
+    "sf": SF_DIR,
+    "cpus": CPUS,
+    "budget_s": TOTAL_BUDGET_S,
+    "sections_done": [],
+}
+_LIVE_PROC: list = []  # the currently-running scaling worker, if any
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _flush(section: str | None = None) -> None:
+    if section is not None and section not in RESULT["sections_done"]:
+        RESULT["sections_done"].append(section)
+    tmp = _SIDECAR + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(RESULT, f)
+    os.replace(tmp, _SIDECAR)
+
+
+def _cleanup_tmpfs() -> None:
+    import shutil
+
+    for d in (
+        "/dev/shm/spark-bench-input",
+        "/tmp/spark-bench-input",
+        "/dev/shm/spark-bench-tmp",
+        "/dev/shm/spark-bench-compressed",
+        "/tmp/spark-bench-compressed",
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _on_alarm(signum, frame) -> None:
+    """Hard backstop just past the budget: kill any live worker, wipe
+    tmpfs, print the accumulated evidence as THE JSON line, exit 0.
+    Every section that completed is preserved (VERDICT r04 #3: the
+    all-or-nothing emission forfeited ~4 finished ladder pairs)."""
+    for p in _LIVE_PROC:
+        try:
+            p.kill()
+        except Exception:
+            pass
+    try:
+        _cleanup_tmpfs()
+    except Exception:
+        pass
+    RESULT["alarm_flush"] = True
+    RESULT["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    if RESULT.get("value") is None:
+        RESULT["value"] = 0.0
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
+
 
 HEADLINE = [
     "range_check",
@@ -239,6 +328,15 @@ def _pipeline_compressed_bench_body(spark, n_convs: int, root: str) -> dict:
         "turns": n_turns,
         "run_seconds": round(t_run, 3),
         "turns_per_sec": round(n_turns / t_run, 1),
+        # Per-stage wall/rows breakdown (VERDICT r04 #4 / next-round
+        # #4): run_seconds swung 110 -> 204 s across same-code runs and
+        # nothing said WHICH stage moved (tier writes? checks? encode?).
+        # StageResult already times every stage; recording them makes a
+        # tmpfs/page-cache swing distinguishable from a code regression.
+        "stages": {
+            r.stage: {"seconds": round(r.seconds, 3), "rows": r.rows_out}
+            for r in results
+        },
         "agg_tier_rows": next(
             (r.rows_out for r in results if r.stage.startswith("agg_")), 0
         ),
@@ -268,12 +366,14 @@ def _build(cpus: int):
     return s
 
 
-def run_rollup_job(spark, n_convs: int, reps: int = 2) -> dict:
+def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
     """The scaling workload: JVM-generated transcripts -> checks -> 3
-    rollup tiers. One warmup iteration (JIT/codegen), then
-    best-of-``reps`` steady-state (the scaling ladder drops to reps=1
-    when the wall-clock budget would otherwise truncate the pair
-    count — see the budget triage in main()).
+    rollup tiers. JIT/codegen warm-up runs the SAME plan shapes over a
+    ~1/16 slice of the input files (VERDICT r04 next-round #1b: the
+    full-size warmup rep was half of every leg's wall time and bought
+    nothing a small slice doesn't — C2 compilation and Python-worker
+    startup are size-independent), then best-of-``reps`` steady-state
+    on the full input.
 
     The input is written to tmpfs PARQUET once (outside the timed
     window) and scanned per pass, NOT kept as a deserialized in-memory
@@ -285,6 +385,7 @@ def run_rollup_job(spark, n_convs: int, reps: int = 2) -> dict:
     through a noop WRITE: a bare count() lets Catalyst skip the whole
     check/window pipeline (observed 0.5s "checks" on 14M rows).
     """
+    import glob as _glob
     import os as _os
 
     from enhydris_autoprocess_spark.config import (
@@ -318,11 +419,10 @@ def run_rollup_job(spark, n_convs: int, reps: int = 2) -> dict:
     transcripts = spark.read.parquet(input_dir)
     n_turns = transcripts.count()  # metadata count, outside the timed window
 
-    def job() -> tuple[int, int]:
-        checked = run_checks(transcripts_to_series(transcripts), cfg)
+    def job(tdf) -> int:
+        checked = run_checks(transcripts_to_series(tdf), cfg)
         checked.write.format("noop").mode("overwrite").save()
-        n_checked = n_turns  # checks preserve cardinality
-        tiers = build_tiers(transcripts)
+        tiers = build_tiers(tdf)
         points, prev = 0, None
         for name in ("1min", "1H", "1D"):
             df = tiers[name].persist()  # coarser tiers compose from this one
@@ -332,18 +432,25 @@ def run_rollup_job(spark, n_convs: int, reps: int = 2) -> dict:
             prev = df
         if prev is not None:
             prev.unpersist()
-        return points, n_checked
+        return points
 
-    job()  # warmup
-    best, points, n_checked = float("inf"), 0, 0
+    # cheap warmup: same plan shapes, ~1/16 of the files
+    files = sorted(_glob.glob(_os.path.join(input_dir, "*.parquet")))
+    if len(files) > 1:
+        warm = spark.read.parquet(*files[: max(1, len(files) // 16)])
+    else:
+        warm = transcripts.sample(0.0625, seed=0)
+    job(warm)
+
+    best, points = float("inf"), 0
     for _ in range(max(reps, 1)):
         t0 = time.time()
-        points, n_checked = job()
+        points = job(transcripts)
         best = min(best, time.time() - t0)
     transcripts.unpersist()
     return {
         "turns": n_turns,
-        "checked_rows": n_checked,
+        "checked_rows": n_turns,  # checks preserve cardinality
         "rolled_up_points": points,
         "seconds": round(best, 3),
         "points_per_sec": round(points / best, 1),
@@ -416,7 +523,7 @@ def host_probe(n: int) -> dict:
     return out
 
 
-def _worker(cpus: int, n_convs: int, reps: int = 2) -> None:
+def _worker(cpus: int, n_convs: int, reps: int = 1) -> None:
     spark = _build(cpus)
     out = run_rollup_job(spark, n_convs, reps=reps)
     spark.stop()
@@ -425,216 +532,93 @@ def _worker(cpus: int, n_convs: int, reps: int = 2) -> None:
     print("WORKER_RESULT " + json.dumps(out))
 
 
-def _spawn_worker(cpus: int, n_convs: int, reps: int = 2) -> dict:
-    proc = subprocess.run(
+def _spawn_worker(cpus: int, n_convs: int, reps: int = 1) -> dict:
+    # Popen (not run) so the SIGALRM backstop can kill a live worker;
+    # per-worker timeout bounded by the remaining total budget.
+    timeout = max(120, min(1800, int(_remaining() - 30)))
+    proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--rollup-worker",
          str(cpus), str(n_convs), str(reps)],
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
         text=True,
-        timeout=3600,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    for line in proc.stdout.splitlines():
+    _LIVE_PROC.append(proc)
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, err = proc.communicate()
+        raise RuntimeError(f"worker local[{cpus}] timed out after {timeout}s")
+    finally:
+        _LIVE_PROC.remove(proc)
+    for line in out.splitlines():
         if line.startswith("WORKER_RESULT "):
             return json.loads(line[len("WORKER_RESULT "):])
     raise RuntimeError(
-        f"worker local[{cpus}] failed: {proc.stdout[-2000:]} {proc.stderr[-2000:]}"
+        f"worker local[{cpus}] failed: {out[-2000:]} {err[-2000:]}"
     )
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--rollup-worker":
-        _worker(
-            int(sys.argv[2]),
-            int(sys.argv[3]),
-            int(sys.argv[4]) if len(sys.argv) > 4 else 2,
-        )
-        return
+def run_scaling_ladder() -> None:
+    """Alternating local[N]/local[4N] pairs with host probes; fills
+    RESULT["scaling"] and RESULT["pipeline"] incrementally (the ladder
+    so-far is flushed after EVERY pair, so a kill mid-ladder keeps the
+    completed pairs — round 4 lost ~4 finished pairs to the one-shot
+    emission)."""
+    import shutil
 
-    import __spark_entry__ as entrymod
+    # This host's sustained throughput swings ~50% between windows
+    # minutes apart (burstable-instance behavior; host_probe makes it
+    # visible in-band). The legs alternate (lo,hi,lo,hi,...) so window
+    # luck cancels roughly symmetrically, and the PRIMARY estimator is
+    # the MEDIAN of per-pair efficiencies over ALL pairs —
+    # selection-free (every pair and every probe stays in the JSON).
+    # The host-clean subset (probes in the two-sided band AND
+    # stationary absolute speed) is kept as a secondary check.
+    HOST_CLEAN_LO, HOST_CLEAN_HI = 0.8, 1.05
+    STATIONARY_SPREAD = 1.25
+    TARGET_PAIRS = int(
+        os.environ.get("SPARK_GRAFT_TARGET_PAIRS", str(max(SCALE_PAIRS, 5)))
+    )
+    NEED_CLEAN = min(2, TARGET_PAIRS)
+    MAX_PAIRS = 8
+    leg_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
 
-    from enhydris_autoprocess_spark.cache import release_caches
+    los: list[dict] = []
+    his: list[dict] = []
+    probes: list[dict] = []
+    ladder: list[dict] = []
 
-    # Scaling pair FIRST, headline after: this host throttles sustained
-    # multi-thread load (short CPU probes scale ~1.0 while long Spark
-    # runs degrade minute-over-minute — burstable-instance behavior),
-    # so measuring the N vs 4N pair after ~15 min of 32-thread headline
-    # charged the 4N leg for the depleted budget, not the code.
-    scaling = None
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        # This host's sustained throughput swings ~50% between windows
-        # minutes apart (burstable-instance behavior; host_probe makes
-        # it visible in-band). Taking the BEST leg per config across
-        # attempts mixes windows and can even make N beat 4N; instead
-        # the legs alternate (lo,hi,lo,hi,...) and efficiency comes
-        # from the AVERAGED throughput per config — window luck cancels
-        # symmetrically. Round 2 ran only 2 alternations and one fast
-        # host window on a single N leg still skewed the recorded
-        # artifact, so now: always >= SCALE_PAIRS (default 3) pairs, a
-        # host probe taken inside each pair's window, the full
-        # per-pair ladder in the JSON, and an efficiency normalized by
-        # the same-window host ceiling next to the raw number.
-        los, his, probes, ladder = [], [], [], []
-        leg_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+    scal: dict = {
+        "convs": BENCH_CONVS,
+        "n": SCALE_N,
+        "attempts": 0,
+        "pairs_insufficient": True,
+        "ladder": ladder,
+        "efficiency_estimator": "median_all_pairs",
+        "host_clean_band": [HOST_CLEAN_LO, HOST_CLEAN_HI],
+        "host_stationary_spread_max": STATIONARY_SPREAD,
+    }
+    RESULT["scaling"] = scal
 
-        def _run_pair():
-            # probe BOTH edges AND the midpoint of the pair: round 4
-            # caught a pair whose two edge probes were both in-band
-            # while the host sped up BETWEEN the legs (slow-window N
-            # leg, fast-window 4N leg -> pair "efficiency" 1.167), and
-            # another where a throttle started mid-4N-leg (0.522). The
-            # mid probe plus an absolute-speed stationarity gate (the
-            # scaling-efficiency band alone cannot see a slow-but-
-            # scaling window flip to fast-but-scaling) kills both.
-            t_pair = time.time()
-            hp_a = host_probe(SCALE_N)
-            lo = _spawn_worker(SCALE_N, BENCH_CONVS, reps=leg_reps)
-            hp_m = host_probe(SCALE_N)
-            hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS, reps=leg_reps)
-            hp_b = host_probe(SCALE_N)
-            edges = (hp_a, hp_m, hp_b)
-            effs = [h["efficiency_n_to_4n"] for h in edges]
-            mops_hi = [h[f"mops_{4 * SCALE_N}"] for h in edges]
-            clean = all(
-                HOST_CLEAN_LO <= e <= HOST_CLEAN_HI for e in effs
-            ) and max(mops_hi) / max(min(mops_hi), 1e-9) <= STATIONARY_SPREAD
-            hp_eff = round(sum(effs) / 3, 3)
-            bw_eff = round(
-                sum(h["bw_efficiency_n_to_4n"] for h in edges) / 3, 3
-            )
-            probes.append(
-                {"efficiency_n_to_4n": hp_eff, "clean": clean, "bw": bw_eff}
-            )
-            los.append(lo)
-            his.append(hi)
-            ladder.append(
-                {
-                    "pair": len(ladder) + 1,
-                    "host_probe_eff": hp_eff,
-                    "host_probe_pre": hp_a["efficiency_n_to_4n"],
-                    "host_probe_mid": hp_m["efficiency_n_to_4n"],
-                    "host_probe_post": hp_b["efficiency_n_to_4n"],
-                    f"host_mops_{4 * SCALE_N}": mops_hi,
-                    "host_bw_eff": bw_eff,
-                    "host_clean": clean,
-                    f"pts_per_sec_local{SCALE_N}": lo["points_per_sec"],
-                    f"pts_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
-                    "pair_efficiency": round(
-                        hi["points_per_sec"] / lo["points_per_sec"] / 4.0, 3
-                    ),
-                    "pair_seconds": round(time.time() - t_pair, 1),
-                    "leg_reps": leg_reps,
-                }
-            )
+    def _avg(rs):
+        return sum(r["points_per_sec"] for r in rs) / len(rs)
 
-        def _avg(rs):
-            return sum(r["points_per_sec"] for r in rs) / len(rs)
+    def _clean_ids():
+        return [i for i, p in enumerate(probes) if p["clean"]]
 
-        # A pair is HOST-CLEAN only if the window was both SCALABLE and
-        # STATIONARY: every one of its three probes' scaling
-        # efficiencies sits in [0.8, 1.05] (a probe below measures
-        # steal/contention — no engine can show 0.8 while the hardware
-        # shows 0.5; a probe above means the window shifted between the
-        # probe's own halves), AND the absolute 4N spin throughput
-        # varies by <= 1.25x across pre/mid/post (round 4: a window
-        # that merely CHANGED SPEED between the N and 4N legs passed
-        # the band on both edges while inflating pair efficiency to
-        # 1.167). The all-pairs number, every pair, and every probe
-        # stay in the JSON so the selection is fully auditable.
-        HOST_CLEAN_LO, HOST_CLEAN_HI = 0.8, 1.05
-        STATIONARY_SPREAD = 1.25
-
-        # pre-generate the shared scaling input ONCE at full
-        # parallelism; workers reuse it (seeded => identical)
-        import shutil
-
-        from enhydris_autoprocess_spark.synth import generate_transcripts_jvm
-
-        gen_dir = (
-            "/dev/shm/spark-bench-input"
-            if os.path.isdir("/dev/shm")
-            else "/tmp/spark-bench-input"
-        )
-        gen_spark = _build(CPUS)
-        generate_transcripts_jvm(
-            gen_spark, n_convs=BENCH_CONVS, seed=42
-        ).write.mode("overwrite").parquet(gen_dir)
-        gen_spark.stop()
-
-        def _clean_ids():
-            return [i for i, p in enumerate(probes) if p["clean"]]
-
-        # Adaptive pairs stop at a wall-clock budget as well as the
-        # pair cap: the artifact must EXIST even on a hostile host — a
-        # bench killed by the harness timeout records nothing, which is
-        # strictly worse than an artifact whose ladder shows dirty
-        # windows.
-        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "3000"))
-        t_scaling = time.time()
-
-        def _within_budget():
-            return time.time() - t_scaling < budget_s
-
-        try:
-            # The ladder targets TARGET_PAIRS alternating pairs (>= the
-            # SCALE_PAIRS protocol minimum). Round 3's budget
-            # arithmetic let the loop exit after 2 pairs — a one-pair
-            # "average" recorded as the headline (VERDICT r03 #1).
-            # Now: after each pair, if finishing the minimum at the
-            # measured per-pair cost would blow the remaining budget,
-            # drop the legs to single-rep (both legs of a pair always
-            # share a reps value, so pair efficiency stays internally
-            # consistent) rather than truncating the pair count; if
-            # the ladder still comes up short, the JSON says so loudly
-            # (pairs_insufficient). Extra pairs beyond the target run
-            # only while fewer than 2 are host-clean (they feed the
-            # secondary clean-subset number; the median headline needs
-            # no selection).
-            TARGET_PAIRS = max(SCALE_PAIRS, 5)
-            while True:
-                _run_pair()
-                n_att = len(probes)
-                if n_att >= 8:
-                    break
-                need_more = n_att < TARGET_PAIRS or len(_clean_ids()) < 2
-                if not need_more:
-                    break
-                if not _within_budget():
-                    break
-                pairs_left = max(SCALE_PAIRS - n_att, 1)
-                budget_left = budget_s - (time.time() - t_scaling)
-                pair_cost = ladder[-1]["pair_seconds"]
-                if leg_reps > 1 and pairs_left * pair_cost > budget_left:
-                    leg_reps = 1
-        finally:
-            # a failed/timed-out worker must not strand 28M rows of
-            # parquet (or a dead JVM's shuffle spills) on tmpfs (RAM)
-            for d in (
-                "/dev/shm/spark-bench-input",
-                "/tmp/spark-bench-input",
-                "/dev/shm/spark-bench-tmp",
-            ):
-                shutil.rmtree(d, ignore_errors=True)
-        # loud shortfall marker: a truncated ladder is an evidence-
-        # capture failure and must not masquerade as a result
-        insufficient = len(probes) < SCALE_PAIRS
-        clean = _clean_ids()
-
-        # PRIMARY estimator: the MEDIAN of pair efficiencies over ALL
-        # alternating pairs. It is selection-free (every pair and every
-        # probe stays in the JSON; nothing to adjudicate), and on this
-        # burstable host it is the only estimator that converged: the
-        # three round-4 ladders' nine 120k pairs ranged 0.38-1.17
-        # individually (window luck inflates and deflates pairs
-        # roughly symmetrically because the legs alternate in time)
-        # with median 0.825 — matching the analytic F/C efficiency
-        # ceiling of ~0.84 at this input size. The host-clean subset
-        # (in-band AND stationary windows) is kept as a secondary
-        # check, but a hostile night can leave it nearly empty or
-        # unrepresentative (observed: the single "clean" pair of a
-        # 5-pair ladder carried the worst engine number of the night
-        # while the CPU probe missed a bandwidth throttle).
-        eff_all = (_avg(his) / _avg(los)) / 4.0
+    def _recompute() -> None:
+        """Refresh the summary stats from the pairs run so far — called
+        after every pair so the flushed artifact is always a complete,
+        parseable scaling section."""
+        scal["attempts"] = len(ladder)
+        scal["pairs_insufficient"] = len(ladder) < SCALE_PAIRS
+        scal["pairs_used"] = [p["pair"] for p in ladder]
+        scal["clean_pairs"] = [i + 1 for i in _clean_ids()]
+        if not ladder:
+            return
         pair_effs = sorted(p["pair_efficiency"] for p in ladder)
         npair = len(pair_effs)
         eff = (
@@ -642,6 +626,8 @@ def main() -> None:
             if npair % 2
             else sum(pair_effs[npair // 2 - 1 : npair // 2 + 1]) / 2
         )
+        eff_all = (_avg(his) / _avg(los)) / 4.0
+        clean = _clean_ids()
         eff_clean = None
         if len(clean) >= 2:
             eff_clean = round(
@@ -650,7 +636,7 @@ def main() -> None:
                 3,
             )
         host_eff = sum(p["efficiency_n_to_4n"] for p in probes) / len(probes)
-        host_bw_eff = sum(p["bw"] for p in probes) / len(probes)
+        host_bw = sum(p["bw"] for p in probes) / len(probes)
         lo = dict(max(los, key=lambda r: r["points_per_sec"]))
         hi = dict(max(his, key=lambda r: r["points_per_sec"]))
         lo["points_per_sec"] = round(_avg(los), 1)
@@ -661,16 +647,166 @@ def main() -> None:
         hi["turns_per_sec"] = round(
             sum(r["turns_per_sec"] for r in his) / len(his), 1
         )
-        scaling = (
-            lo, hi, eff, eff_all, clean, host_eff, ladder, insufficient,
-            eff_clean, host_bw_eff,
+        scal[f"throughput_points_per_sec_local{SCALE_N}"] = lo["points_per_sec"]
+        scal[f"throughput_points_per_sec_local{4 * SCALE_N}"] = hi["points_per_sec"]
+        scal[f"turns_per_sec_local{SCALE_N}"] = lo["turns_per_sec"]
+        scal[f"turns_per_sec_local{4 * SCALE_N}"] = hi["turns_per_sec"]
+        scal["efficiency_n_to_4n"] = round(eff, 3)
+        scal["efficiency_all_pairs"] = round(eff_all, 3)
+        scal["efficiency_clean_pairs"] = eff_clean
+        # the host's own N->4N ceilings averaged over the same windows
+        # (Spark-free): CPU spin — steal/turbo/SMT — and memory
+        # bandwidth, which on this box scales 4->16 procs at only
+        # ~0.5-0.8 and bounds every scan/shuffle-bound stage regardless
+        # of engine quality (real clusters add memory channels with
+        # every executor; one VM does not).
+        scal["host_efficiency_same_windows"] = round(host_eff, 3)
+        scal["host_bw_efficiency_same_windows"] = round(host_bw, 3)
+        scal["efficiency_vs_host_ceiling"] = round(eff / host_eff, 3)
+        scal["efficiency_all_vs_host_ceiling"] = round(eff_all / host_eff, 3)
+        RESULT["pipeline"] = hi
+
+    def _run_pair() -> None:
+        # probe BOTH edges AND the midpoint of the pair: round 4
+        # caught a pair whose two edge probes were both in-band while
+        # the host sped up BETWEEN the legs (slow-window N leg,
+        # fast-window 4N leg -> pair "efficiency" 1.167), and another
+        # where a throttle started mid-4N-leg (0.522). The mid probe
+        # plus an absolute-speed stationarity gate kills both.
+        t_pair = time.time()
+        hp_a = host_probe(SCALE_N)
+        lo = _spawn_worker(SCALE_N, BENCH_CONVS, reps=leg_reps)
+        hp_m = host_probe(SCALE_N)
+        hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS, reps=leg_reps)
+        hp_b = host_probe(SCALE_N)
+        edges = (hp_a, hp_m, hp_b)
+        effs = [h["efficiency_n_to_4n"] for h in edges]
+        mops_hi = [h[f"mops_{4 * SCALE_N}"] for h in edges]
+        clean = all(
+            HOST_CLEAN_LO <= e <= HOST_CLEAN_HI for e in effs
+        ) and max(mops_hi) / max(min(mops_hi), 1e-9) <= STATIONARY_SPREAD
+        hp_eff = round(sum(effs) / 3, 3)
+        bw_eff = round(sum(h["bw_efficiency_n_to_4n"] for h in edges) / 3, 3)
+        probes.append(
+            {"efficiency_n_to_4n": hp_eff, "clean": clean, "bw": bw_eff}
         )
+        los.append(lo)
+        his.append(hi)
+        ladder.append(
+            {
+                "pair": len(ladder) + 1,
+                "host_probe_eff": hp_eff,
+                "host_probe_pre": hp_a["efficiency_n_to_4n"],
+                "host_probe_mid": hp_m["efficiency_n_to_4n"],
+                "host_probe_post": hp_b["efficiency_n_to_4n"],
+                f"host_mops_{4 * SCALE_N}": mops_hi,
+                "host_bw_eff": bw_eff,
+                "host_clean": clean,
+                f"pts_per_sec_local{SCALE_N}": lo["points_per_sec"],
+                f"pts_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
+                "pair_efficiency": round(
+                    hi["points_per_sec"] / lo["points_per_sec"] / 4.0, 3
+                ),
+                "pair_seconds": round(time.time() - t_pair, 1),
+                "leg_reps": leg_reps,
+            }
+        )
+
+    # pre-generate the shared scaling input ONCE at full parallelism;
+    # workers reuse it (seeded => identical)
+    gen_dir = (
+        "/dev/shm/spark-bench-input"
+        if os.path.isdir("/dev/shm")
+        else "/tmp/spark-bench-input"
+    )
+    t_gen = time.time()
+    gen_spark = _build(CPUS)
+    from enhydris_autoprocess_spark.synth import generate_transcripts_jvm  # noqa
+
+    generate_transcripts_jvm(
+        gen_spark, n_convs=BENCH_CONVS, seed=42
+    ).write.mode("overwrite").parquet(gen_dir)
+    gen_spark.stop()
+    scal["input_gen_seconds"] = round(time.time() - t_gen, 1)
+    _flush()
+
+    try:
+        # Budget-driven pair count: after each pair, continue only if
+        # (a) the protocol wants more (under TARGET_PAIRS, or fewer
+        # than 2 host-clean pairs), (b) under the MAX_PAIRS cap, and
+        # (c) the projected next-pair cost fits in what remains of the
+        # TOTAL budget after reserving the headline tail. Round 4's
+        # per-pair budget was checked against a ladder-local budget
+        # nothing tied to the driver's real 3600 s window, and the
+        # rep-shedding triage could never fire at the default reps=1
+        # (ADVICE r04) — the total-budget check replaces both.
+        while True:
+            _run_pair()
+            _recompute()
+            _flush()
+            n_att = len(ladder)
+            if n_att >= MAX_PAIRS:
+                scal["stop_reason"] = "max_pairs"
+                break
+            if n_att >= TARGET_PAIRS and len(_clean_ids()) >= NEED_CLEAN:
+                scal["stop_reason"] = "target_met"
+                break
+            pair_cost = sorted(p["pair_seconds"] for p in ladder)[len(ladder) // 2]
+            if _remaining() - TAIL_RESERVE_S < pair_cost * 1.15:
+                scal["stop_reason"] = "budget"
+                break
+    except RuntimeError as e:
+        # a dead/hung worker ends the ladder but keeps completed pairs
+        scal["stop_reason"] = f"worker_error: {e}"[:300]
+        _recompute()
+    finally:
+        # a failed/timed-out worker must not strand 28M rows of
+        # parquet (or a dead JVM's shuffle spills) on tmpfs (RAM)
+        for d in (
+            "/dev/shm/spark-bench-input",
+            "/tmp/spark-bench-input",
+            "/dev/shm/spark-bench-tmp",
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+    _flush("scaling")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--rollup-worker":
+        _worker(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            int(sys.argv[4]) if len(sys.argv) > 4 else 1,
+        )
+        return
+
+    # Backstop alarm slightly past the budget (and safely inside the
+    # driver's 3600 s kill): whatever happens, ONE JSON line prints.
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(min(TOTAL_BUDGET_S + 120, 3480))
+
+    import __spark_entry__ as entrymod
+
+    from enhydris_autoprocess_spark.cache import release_caches
+
+    # cheap, Spark-free, and first: ~10 s of codec numbers that round 4
+    # lost to the one-shot emission
+    RESULT["gorilla_codec"] = gorilla_codec_bench()
+    _flush("gorilla_codec")
+
+    # Scaling pair block FIRST, headline after: this host throttles
+    # sustained multi-thread load (short CPU probes scale ~1.0 while
+    # long Spark runs degrade minute-over-minute — burstable-instance
+    # behavior), so measuring the N vs 4N pair after ~15 min of
+    # 32-thread headline charged the 4N leg for the depleted budget,
+    # not the code.
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        run_scaling_ladder()
 
     spark = _build(CPUS)
     # Warm up codegen + Python workers once so the first measured query
     # isn't charged for session bring-up (the per-query numbers are
     # what the harness compares run-to-run).
-    import pandas as pd
     from pyspark.sql import functions as F
 
     spark.range(100000).select(F.sum("id")).write.format("noop").mode(
@@ -683,19 +819,29 @@ def main() -> None:
 
     qs = {**entrymod.queries(), **_extra_queries()}
     times: dict[str, float] = {}
+    times_min: dict[str, float] = {}
     total = 0.0
-    # Host provenance for the headline block (VERDICT r03 #2): the
-    # per-query numbers were unadjudicable round-over-round because,
-    # unlike the scaling ladder, nothing recorded the host's own speed
-    # in the same window. One probe at each edge of the block makes a
-    # throttled window visible next to the numbers it throttled.
-    headline_probe_pre = host_probe(SCALE_N)
+    # Host provenance for the headline block (VERDICT r03 #2): one
+    # probe at each edge makes a throttled window visible next to the
+    # numbers it throttled.
+    RESULT["host_probe"] = {"pre": host_probe(SCALE_N)}
+    RESULT["queries"] = times
+    # Median is the headline (protocol of r04+); min is recorded
+    # alongside so rounds measured under the old best-of protocol
+    # (r02/r03) stay comparable and future protocol changes stop
+    # orphaning history (VERDICT r04 #4 / next-round #3).
+    RESULT["queries_min"] = times_min
+    RESULT["queries_protocol"] = "median_of_3_cache_released"
+    skipped: list[str] = []
     for name in [
         *HEADLINE,
         "embedding_near_dup_lsh",
         "ivf_cosine_topk_probe4",
         "quantile_rollup_approx",
     ]:
+        if _remaining() < 60:
+            skipped.append(name)
+            continue
         fn = qs[name]
         reps = []
         # First execution of a plan pays one-time codegen/GC costs that
@@ -715,79 +861,30 @@ def main() -> None:
             # rep understating the cache-heavy queries)
             release_caches(df)
         times[name] = round(sorted(reps)[1], 3)
+        times_min[name] = round(min(reps), 3)
         total += times[name]
-    headline_probe_post = host_probe(SCALE_N)
+        _flush()
+    RESULT["host_probe"]["post"] = host_probe(SCALE_N)
+    RESULT["value"] = round(total, 3)
+    if skipped:
+        RESULT["queries_skipped_for_budget"] = skipped
+    _flush("headline")
 
-    compressed = pipeline_compressed_bench(spark)
+    # the compressed leg measured 130-204 s at 20k convs (r04 judge
+    # runs) — start it only with comfortable headroom; the alarm
+    # backstop still guarantees a JSON line if it overruns anyway
+    if _remaining() > 420:
+        RESULT["pipeline_compressed"] = pipeline_compressed_bench(spark)
+        _flush("pipeline_compressed")
+    else:
+        RESULT["pipeline_compressed"] = {"skipped_for_budget": True}
+        _flush()
     spark.stop()
-    import shutil as _shutil
+    _cleanup_tmpfs()
 
-    _shutil.rmtree("/dev/shm/spark-bench-tmp", ignore_errors=True)
-
-    result = {
-        "metric": "headline_queries_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": times,
-        "queries_protocol": "median_of_3_cache_released",
-        # Spark-free spin throughput at both edges of the headline
-        # block: mops_* are absolute (comparable across rounds), the
-        # efficiency shows whether the window could even scale
-        "host_probe": {
-            "pre": headline_probe_pre,
-            "post": headline_probe_post,
-        },
-        "sf": SF_DIR,
-        "cpus": CPUS,
-        "gorilla_codec": gorilla_codec_bench(),
-        "pipeline_compressed": compressed,
-    }
-
-    if scaling is not None:
-        (
-            lo, hi, eff, eff_all, clean, host_eff, ladder, insufficient,
-            eff_clean, host_bw_eff,
-        ) = scaling
-        result["pipeline"] = hi
-        result["scaling"] = {
-            "convs": BENCH_CONVS,
-            "n": SCALE_N,
-            "attempts": len(ladder),
-            "pairs_insufficient": insufficient,
-            "ladder": ladder,
-            # headline efficiency = MEDIAN pair efficiency over ALL
-            # alternating pairs — selection-free and robust to the
-            # symmetric window luck this burstable host injects (each
-            # pair and probe stays in the ladder; the host-clean
-            # subset is a secondary check, not the estimator)
-            "efficiency_estimator": "median_all_pairs",
-            "pairs_used": [p["pair"] for p in ladder],
-            "clean_pairs": [i + 1 for i in clean],
-            "host_clean_band": [0.8, 1.05],
-            "host_stationary_spread_max": 1.25,
-            f"throughput_points_per_sec_local{SCALE_N}": lo["points_per_sec"],
-            f"throughput_points_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
-            f"turns_per_sec_local{SCALE_N}": lo["turns_per_sec"],
-            f"turns_per_sec_local{4 * SCALE_N}": hi["turns_per_sec"],
-            "efficiency_n_to_4n": round(eff, 3),
-            "efficiency_all_pairs": round(eff_all, 3),
-            "efficiency_clean_pairs": eff_clean,
-            # the host's own N->4N ceilings averaged over the same
-            # windows (Spark-free): CPU spin — steal/turbo/SMT — and
-            # memory bandwidth, which on this box scales 4->16 procs
-            # at only ~0.5-0.8 (85 -> 171 GB/s floor) and bounds every
-            # scan/shuffle-bound stage regardless of engine quality
-            # (real clusters add memory channels with every executor;
-            # one VM does not). Engine efficiency divided by the CPU
-            # ceiling over the same windows says how much of the
-            # achievable scaling the engine captured.
-            "host_efficiency_same_windows": round(host_eff, 3),
-            "host_bw_efficiency_same_windows": round(host_bw_eff, 3),
-            "efficiency_vs_host_ceiling": round(eff / host_eff, 3),
-            "efficiency_all_vs_host_ceiling": round(eff_all / host_eff, 3),
-        }
-
-    print(json.dumps(result))
+    signal.alarm(0)
+    RESULT["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":

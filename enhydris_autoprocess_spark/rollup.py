@@ -176,6 +176,57 @@ def quantile_rollup_approx(
     return df.agg(*aggs)
 
 
+def quantile_rollup_auto(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    hot_count_threshold: int = 10_000_000,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Skew-aware per-key quantiles: exact for normal keys, mergeable
+    sketch for hot ones (VERDICT r04 next-round #6).
+
+    The exact ``percentile`` aggregate buffers every value of a group
+    in one task — the last unbounded per-key memory on the rollup path
+    when a key carries 10^8+ events. Keys whose row count exceeds
+    ``hot_count_threshold`` route to ``quantile_rollup_approx`` (rank
+    error <= n/accuracy, O(accuracy) memory, partial+final merge);
+    everything else keeps bit-exact quantiles. Routing costs one
+    map-side-combined count aggregation broadcast back as a semi/anti
+    join — the same pattern as ``gap_fill_auto``'s span routing.
+
+    Output schema matches ``quantile_rollup`` exactly (key cols + n +
+    one ``p<q>`` per quantile). ``df``'s plan is consumed three times
+    (count + both branches), so it is persisted here and attached to
+    the result — release with ``cache.release_caches`` once the output
+    is materialized.
+    """
+    if not key_cols:
+        # corpus-wide is always the sketch path (one group = all rows)
+        return quantile_rollup_approx(df, key_cols, value_col, quantiles, accuracy)
+    from .cache import carry_caches
+
+    df = df.persist()
+    hot = F.broadcast(
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > hot_count_threshold)
+        .select(*key_cols)
+    )
+    exact = quantile_rollup(
+        df.join(hot, list(key_cols), "left_anti"), key_cols, value_col, quantiles
+    )
+    approx = quantile_rollup_approx(
+        df.join(hot, list(key_cols), "left_semi"),
+        key_cols,
+        value_col,
+        quantiles,
+        accuracy,
+    )
+    return carry_caches(exact.unionByName(approx), df)
+
+
 def build_tiers(transcripts: DataFrame) -> dict[str, DataFrame]:
     """1min directly; 1h from 1min; 1d from 1h."""
     t1min = rollup_transcripts(transcripts, "1min")

@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Three dependency-free REAL decoders are built in (stdlib + numpy only):
+Four dependency-free REAL decoders are built in (stdlib + numpy only):
 
 - PPM (P6 binary, maxval<=255) -> (h, w, 3) uint8 pixels;
 - PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -> (h, w, 3)
   uint8 pixels — stdlib ``zlib`` inflate + numpy per-scanline
   unfiltering (Sub/Up vectorized per byte lane, Average/Paeth by their
   sequential definition);
+- baseline JPEG (SOF0, 8-bit, gray / 4:4:4 / 4:2:2 / 4:2:0, restart
+  markers) -> (h, w, 3) uint8 — spec Huffman + numpy einsum IDCT
+  (``jpeg.py``; progressive/arithmetic raise);
 - WAV (RIFF PCM 8/16/32-bit) -> mono float32 samples + sample rate.
 
-Formats that genuinely need codec libraries (JPEG, MP3/AAC, any video)
-stay STUBBED behind NotImplementedError unless ``fake=True``, in which
+Formats that genuinely need codec libraries (MP3/AAC, any video) stay
+STUBBED behind NotImplementedError unless ``fake=True``, in which
 case a deterministic fake decoder (seeded from the bytes) produces
 stable features so the Spark-side plumbing — schema, partitioning, UDF
 signature, Arrow batch shape — is real and tested end-to-end
@@ -272,17 +275,21 @@ def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Image payload -> feature vector. Real paths decode binary PPM
-    and 8-bit PNG (dependency-free); JPEG/WebP/... need PIL/cv2 (not
-    in this container)."""
+    """Image payload -> feature vector. Real paths decode binary PPM,
+    8-bit PNG, and baseline JPEG (all dependency-free); WebP/AVIF/...
+    still need codec libraries (not in this container)."""
     if fake:
         return _fake_decode(payload)
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
     if payload[:8] == PNG_SIG:
         return image_features(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(payload))
     raise NotImplementedError(
-        "real decode of non-PPM/PNG images requires PIL/cv2 (not "
+        "real decode of non-PPM/PNG/JPEG images requires PIL/cv2 (not "
         "installed in this container); pass fake=True for the "
         "deterministic stub"
     )
@@ -452,9 +459,12 @@ def make_wav(rate: int, samples: np.ndarray) -> bytes:
 
 def fake_media_frame(spark, n: int = 32, seed: int = 5) -> DataFrame:
     """Deterministic synthetic media table for tests: images are REAL
-    tiny PPMs and PNGs (alternating, with rotating PNG filter types)
-    and audio is REAL PCM WAV (decodable with fake=False); video
-    payloads are random bytes (real video decode is lib-blocked)."""
+    tiny PPMs, PNGs, and baseline JPEGs (rotating, with rotating PNG
+    filter types / JPEG subsampling) and audio is REAL PCM WAV
+    (decodable with fake=False); video payloads are random bytes (real
+    video decode is lib-blocked)."""
+    from .jpeg import encode_jpeg
+
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -462,10 +472,15 @@ def fake_media_frame(spark, n: int = 32, seed: int = 5) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
-            if (i // 3) % 2:
-                payload = make_png(px, filter_type=(i // 6) % 5)
-            else:
+            variant = (i // 3) % 3
+            if variant == 0:
                 payload = make_ppm(px)
+            elif variant == 1:
+                payload = make_png(px, filter_type=(i // 9) % 5)
+            else:
+                payload = encode_jpeg(
+                    px, quality=90, subsample=("444", "420")[(i // 9) % 2]
+                )
         elif kind == "audio":
             t = np.arange(800, dtype=np.float32) / 8000.0
             payload = make_wav(8000, np.sin(2 * np.pi * (100 + 50 * i) * t))

@@ -197,6 +197,62 @@ def test_quantile_rollup_approx_within_epsilon(spark):
     assert "HashAggregate" in plan and plan.count("Exchange") == 1
 
 
+def test_quantile_rollup_auto_mixed_routing(spark):
+    """VERDICT r04 next-round #6: exact percentile buffers a whole
+    group per task — unbounded for a 10^8-event hot key. The auto
+    variant routes keys above a count threshold to the mergeable
+    sketch and keeps everything else bit-exact; mixed output must be
+    exact for cold keys and within rank epsilon for planted hot keys,
+    with one schema."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.cache import release_caches
+    from enhydris_autoprocess_spark.rollup import (
+        quantile_rollup,
+        quantile_rollup_auto,
+    )
+
+    rng = np.random.RandomState(23)
+    data = {
+        "hot": np.sort(rng.lognormal(3.0, 1.0, size=3000)),  # > threshold
+        "a": np.sort(rng.uniform(0, 100, size=500)),
+        "b": np.sort(rng.exponential(10.0, size=300)),
+    }
+    rows = [
+        (k, T0 + dt.timedelta(seconds=i), float(v))
+        for k, vs in data.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+    accuracy = 10000
+    auto = quantile_rollup_auto(
+        df, ("key",), hot_count_threshold=1000, accuracy=accuracy
+    )
+    got = {r.key: r for r in auto.collect()}
+    release_caches(auto)
+    exact = {r.key: r for r in quantile_rollup(df, ("key",)).collect()}
+
+    assert set(got) == set(data)
+    assert auto.columns == ["key", "n", "p50", "p95"]
+    # cold keys: BIT-exact (they took the exact branch)
+    for k in ("a", "b"):
+        assert got[k].n == exact[k].n == len(data[k])
+        assert got[k].p50 == exact[k].p50 and got[k].p95 == exact[k].p95
+    # hot key: sketch result within the rank-error bound of exact
+    vs = data["hot"]
+    n = len(vs)
+    assert got["hot"].n == n
+    for q, col in ((0.5, "p50"), (0.95, "p95")):
+        target = (n - 1) * q
+        rank = float(np.searchsorted(vs, got["hot"][col], side="left"))
+        assert abs(rank - target) <= n / accuracy + 2, (col, got["hot"][col])
+
+    # corpus-wide degenerates to the pure sketch path (no persist)
+    (row,) = quantile_rollup_auto(df, (), accuracy=accuracy).collect()
+    assert row.n == sum(len(v) for v in data.values())
+
+
 def test_sessionize_native_equivalence(spark):
     """Spark's built-in session_window must produce the same sessions
     as the custom operator on data with no exact-threshold gaps (the

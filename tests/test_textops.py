@@ -330,19 +330,80 @@ def test_multimodal_png_decode():
         decode_png(bytes(blob))
 
 
+def test_multimodal_jpeg_codec():
+    """Dependency-free baseline JPEG codec (VERDICT r02-r04 stretch:
+    the last environment-blocked decoder). Spec Huffman + einsum IDCT;
+    round-trips within DCT quantization tolerance across subsampling
+    modes, grayscale, restart markers, and odd dimensions; deterministic
+    bytes; unsupported modes raise."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.textops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # smooth gradient (JPEG-friendly): tight error bounds
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    img = (img.astype(np.int64) // 4 * 4).astype(np.uint8)
+    for ss in ("444", "422", "420"):
+        back = decode_jpeg(encode_jpeg(img, quality=90, subsample=ss))
+        assert back.shape == img.shape
+        err = np.abs(back.astype(np.int64) - img.astype(np.int64))
+        assert err.mean() < 2.0 and err.max() <= 8, ss
+
+    # restart markers: RSTn segmentation + DC predictor resets
+    with_rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3))
+    without = decode_jpeg(encode_jpeg(img, quality=90))
+    assert np.array_equal(with_rst, without)
+
+    # grayscale replicates to 3 channels (same contract as decode_png)
+    gray = (yy * 4 % 256).astype(np.uint8)
+    gout = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert gout.shape == (40, 56, 3)
+    assert np.abs(gout[..., 0].astype(np.int64) - gray).max() <= 2
+    assert np.array_equal(gout[..., 0], gout[..., 2])
+
+    # odd (non-multiple-of-MCU) dimensions crop exactly
+    rng = np.random.RandomState(9)
+    odd = rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, subsample="420")).shape == odd.shape
+    # 1x1 at quality 100 is exact
+    one = np.full((1, 1, 3), 77, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(one, quality=100)), one)
+
+    # golden determinism: encoding is bit-stable run to run
+    assert encode_jpeg(img) == encode_jpeg(img)
+    blob = encode_jpeg(img)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+
+    # unsupported/malformed payloads fail loudly
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    prog = bytearray(blob)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # rebrand SOF0 as progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
 def test_multimodal_png_through_spark(spark):
-    """fake_media_frame now mixes PNG and PPM images; fake=False must
-    really decode both through the mapInPandas path."""
+    """fake_media_frame now mixes JPEG, PNG and PPM images; fake=False
+    must really decode all three through the mapInPandas path."""
     from enhydris_autoprocess_spark.textops.multimodal import (
         PNG_SIG,
         extract_features,
         fake_media_frame,
     )
 
-    media = fake_media_frame(spark, n=24).where("kind = 'image'")
+    media = fake_media_frame(spark, n=36).where("kind = 'image'")
     payloads = [bytes(r.payload) for r in media.collect()]
     assert any(p[:8] == PNG_SIG for p in payloads)
     assert any(p[:2] == b"P6" for p in payloads)
+    assert any(p[:2] == b"\xff\xd8" for p in payloads)
     feats = extract_features(media, fake=False).collect()
     assert len(feats) == len(payloads)
     assert all(r.feature[0] == 8.0 and r.feature[1] == 8.0 for r in feats)
