@@ -477,6 +477,33 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------------------------
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the REAL decoders (mapInPandas over
+    binary payloads -> fixed-dim features): a deterministic seeded
+    media table (real PPM/PNG/JPEG images + PCM WAV audio) decoded
+    with fake=False. NOT SQL-expressible (bit-level image/audio codecs
+    have no DuckDB analog), so this entry intentionally has NO
+    oracle_sql() — the driver records the weaker rows-only check; the
+    decoders themselves are golden-pinned in tests/test_textops.py.
+    ``sf_dir`` is unused (the table is synthesized, not read) but kept
+    for the uniform signature."""
+    from enhydris_autoprocess_spark.textops.multimodal import (
+        extract_features,
+        fake_media_frame,
+    )
+
+    media = fake_media_frame(spark, n=36).where(F.col("kind") != "video")
+    feats = extract_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: checks -> regularize -> hourly aggregation over the
     sf0.001 events series (the reference's E1 pipeline shape)."""
@@ -529,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        # rows-only (no oracle_sql): bit-level codecs aren't
+        # SQL-expressible; decoders are golden-pinned in pytest
+        "media_features": q_media_features,
     }
 
 
