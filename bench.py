@@ -561,13 +561,27 @@ def _spawn_worker(cpus: int, n_convs: int, reps: int = 1) -> dict:
     )
 
 
-def run_scaling_ladder() -> None:
+_LADDER_STATE: dict | None = None
+
+
+def run_scaling_ladder(resume: bool = False) -> None:
     """Alternating local[N]/local[4N] pairs with host probes; fills
     RESULT["scaling"] and RESULT["pipeline"] incrementally (the ladder
     so-far is flushed after EVERY pair, so a kill mid-ladder keeps the
     completed pairs — round 4 lost ~4 finished pairs to the one-shot
-    emission)."""
-    import shutil
+    emission).
+
+    The PRIMARY phase runs before the headline block (a throttled
+    post-headline host would be charged to the 4N legs). With
+    ``resume=True`` the ladder continues AFTER the tail with whatever
+    budget is left: a hostile window can make one pair cost 2x its
+    clean-window price (observed 1060 s vs ~500 s), and without the
+    resume that single slow pair both ate the primary ladder budget
+    AND left half the total budget unused at exit. Resume pairs are
+    flagged ``post_headline`` so their (possibly depleted) window is
+    auditable; the median-of-all-pairs estimator stays selection-free
+    either way."""
+    global _LADDER_STATE
 
     # This host's sustained throughput swings ~50% between windows
     # minutes apart (burstable-instance behavior; host_probe makes it
@@ -584,30 +598,50 @@ def run_scaling_ladder() -> None:
     )
     NEED_CLEAN = min(2, TARGET_PAIRS)
     MAX_PAIRS = 8
+    # headline-only reserve: while the ladder is still under the
+    # 3-pair protocol MINIMUM it outranks the compressed leg and most
+    # of the headline reserve (a <3-pair ladder is pairs_insufficient
+    # no matter how much tail runs)
+    MIN_TAIL_S = 600
     leg_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
 
-    los: list[dict] = []
-    his: list[dict] = []
-    probes: list[dict] = []
-    ladder: list[dict] = []
+    if _LADDER_STATE is None:
+        _LADDER_STATE = {
+            "los": [],
+            "his": [],
+            "probes": [],
+            "ladder": [],
+            "scal": {
+                "convs": BENCH_CONVS,
+                "n": SCALE_N,
+                "attempts": 0,
+                "pairs_insufficient": True,
+                "ladder": [],
+                "efficiency_estimator": "median_all_pairs",
+                "host_clean_band": [HOST_CLEAN_LO, HOST_CLEAN_HI],
+                "host_stationary_spread_max": STATIONARY_SPREAD,
+            },
+        }
+        _LADDER_STATE["scal"]["ladder"] = _LADDER_STATE["ladder"]
+        RESULT["scaling"] = _LADDER_STATE["scal"]
+    los = _LADDER_STATE["los"]
+    his = _LADDER_STATE["his"]
+    probes = _LADDER_STATE["probes"]
+    ladder = _LADDER_STATE["ladder"]
+    scal = _LADDER_STATE["scal"]
 
-    scal: dict = {
-        "convs": BENCH_CONVS,
-        "n": SCALE_N,
-        "attempts": 0,
-        "pairs_insufficient": True,
-        "ladder": ladder,
-        "efficiency_estimator": "median_all_pairs",
-        "host_clean_band": [HOST_CLEAN_LO, HOST_CLEAN_HI],
-        "host_stationary_spread_max": STATIONARY_SPREAD,
-    }
-    RESULT["scaling"] = scal
 
     def _avg(rs):
         return sum(r["points_per_sec"] for r in rs) / len(rs)
 
     def _clean_ids():
         return [i for i, p in enumerate(probes) if p["clean"]]
+
+    def _satisfied() -> bool:
+        return len(ladder) >= TARGET_PAIRS and len(_clean_ids()) >= NEED_CLEAN
+
+    if resume and (_satisfied() or len(ladder) >= MAX_PAIRS):
+        return
 
     def _recompute() -> None:
         """Refresh the summary stats from the pairs run so far — called
@@ -666,7 +700,7 @@ def run_scaling_ladder() -> None:
         scal["efficiency_all_vs_host_ceiling"] = round(eff_all / host_eff, 3)
         RESULT["pipeline"] = hi
 
-    def _run_pair() -> None:
+    def _run_pair(post_headline: bool = False) -> None:
         # probe BOTH edges AND the midpoint of the pair: round 4
         # caught a pair whose two edge probes were both in-band while
         # the host sped up BETWEEN the legs (slow-window N leg,
@@ -704,70 +738,93 @@ def run_scaling_ladder() -> None:
                 "host_clean": clean,
                 f"pts_per_sec_local{SCALE_N}": lo["points_per_sec"],
                 f"pts_per_sec_local{4 * SCALE_N}": hi["points_per_sec"],
+                f"leg_seconds_local{SCALE_N}": lo["seconds"],
+                f"leg_seconds_local{4 * SCALE_N}": hi["seconds"],
                 "pair_efficiency": round(
                     hi["points_per_sec"] / lo["points_per_sec"] / 4.0, 3
                 ),
                 "pair_seconds": round(time.time() - t_pair, 1),
                 "leg_reps": leg_reps,
+                "post_headline": post_headline,
             }
         )
 
     # pre-generate the shared scaling input ONCE at full parallelism;
-    # workers reuse it (seeded => identical)
+    # workers reuse it (seeded => identical). The input stays on tmpfs
+    # through the tail sections (~2 GB against 125 GiB RAM) so a
+    # resume doesn't pay generation again; final cleanup happens in
+    # main()'s finally and in the alarm handler.
     gen_dir = (
         "/dev/shm/spark-bench-input"
         if os.path.isdir("/dev/shm")
         else "/tmp/spark-bench-input"
     )
-    t_gen = time.time()
-    gen_spark = _build(CPUS)
-    from enhydris_autoprocess_spark.synth import generate_transcripts_jvm  # noqa
+    if not os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
+        t_gen = time.time()
+        gen_spark = _build(CPUS)
+        from enhydris_autoprocess_spark.synth import generate_transcripts_jvm
 
-    generate_transcripts_jvm(
-        gen_spark, n_convs=BENCH_CONVS, seed=42
-    ).write.mode("overwrite").parquet(gen_dir)
-    gen_spark.stop()
-    scal["input_gen_seconds"] = round(time.time() - t_gen, 1)
-    _flush()
+        generate_transcripts_jvm(
+            gen_spark, n_convs=BENCH_CONVS, seed=42
+        ).write.mode("overwrite").parquet(gen_dir)
+        gen_spark.stop()
+        scal["input_gen_seconds"] = round(
+            scal.get("input_gen_seconds", 0.0) + time.time() - t_gen, 1
+        )
+        _flush()
 
     try:
         # Budget-driven pair count: after each pair, continue only if
         # (a) the protocol wants more (under TARGET_PAIRS, or fewer
-        # than 2 host-clean pairs), (b) under the MAX_PAIRS cap, and
-        # (c) the projected next-pair cost fits in what remains of the
-        # TOTAL budget after reserving the headline tail. Round 4's
-        # per-pair budget was checked against a ladder-local budget
-        # nothing tied to the driver's real 3600 s window, and the
-        # rep-shedding triage could never fire at the default reps=1
-        # (ADVICE r04) — the total-budget check replaces both.
+        # than NEED_CLEAN host-clean pairs), (b) under the MAX_PAIRS
+        # cap, and (c) the projected next-pair cost fits the remaining
+        # TOTAL budget. The reserve is two-tier: under the 3-pair
+        # protocol MINIMUM only MIN_TAIL_S is held back (the first
+        # full run stopped at ONE 1060 s hostile-window pair because
+        # it treated the whole tail reserve as untouchable — and then
+        # finished with 1800 s unused); at or past the minimum the
+        # full TAIL_RESERVE_S applies. In the resume phase the tail
+        # has already run, so only a small cleanup margin is reserved
+        # and the projection uses the CHEAPEST pair seen (overrun is
+        # protected by per-pair flush + the alarm; truncation is the
+        # real enemy).
         while True:
-            _run_pair()
+            if resume:
+                costs = sorted(p["pair_seconds"] for p in ladder)
+                est = costs[0] if costs else 600.0
+                if _remaining() < est * 1.1 + 90:
+                    scal["stop_reason"] = "resume_budget"
+                    break
+            _run_pair(post_headline=resume)
             _recompute()
             _flush()
             n_att = len(ladder)
             if n_att >= MAX_PAIRS:
                 scal["stop_reason"] = "max_pairs"
                 break
-            if n_att >= TARGET_PAIRS and len(_clean_ids()) >= NEED_CLEAN:
-                scal["stop_reason"] = "target_met"
+            if _satisfied():
+                scal["stop_reason"] = (
+                    "target_met_resume" if resume else "target_met"
+                )
                 break
-            pair_cost = sorted(p["pair_seconds"] for p in ladder)[len(ladder) // 2]
-            if _remaining() - TAIL_RESERVE_S < pair_cost * 1.15:
-                scal["stop_reason"] = "budget"
-                break
+            if not resume:
+                med = sorted(p["pair_seconds"] for p in ladder)[
+                    len(ladder) // 2
+                ]
+                need = (
+                    med * 1.1 + MIN_TAIL_S
+                    if n_att < SCALE_PAIRS
+                    else med * 1.15 + TAIL_RESERVE_S
+                )
+                if _remaining() < need:
+                    scal["stop_reason"] = "budget"
+                    break
     except RuntimeError as e:
         # a dead/hung worker ends the ladder but keeps completed pairs
-        scal["stop_reason"] = f"worker_error: {e}"[:300]
+        scal["stop_reason"] = (
+            f"{'resume_' if resume else ''}worker_error: {e}"[:300]
+        )
         _recompute()
-    finally:
-        # a failed/timed-out worker must not strand 28M rows of
-        # parquet (or a dead JVM's shuffle spills) on tmpfs (RAM)
-        for d in (
-            "/dev/shm/spark-bench-input",
-            "/tmp/spark-bench-input",
-            "/dev/shm/spark-bench-tmp",
-        ):
-            shutil.rmtree(d, ignore_errors=True)
     _flush("scaling")
 
 
@@ -880,6 +937,13 @@ def main() -> None:
         RESULT["pipeline_compressed"] = {"skipped_for_budget": True}
         _flush()
     spark.stop()
+
+    # Leftover budget -> extra ladder pairs: the artifact of record
+    # must never end with BOTH an insufficient ladder and unused
+    # budget (the first full round-5 run did exactly that: one
+    # hostile-window pair, then finished 1800 s early).
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        run_scaling_ladder(resume=True)
     _cleanup_tmpfs()
 
     signal.alarm(0)
