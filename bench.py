@@ -601,8 +601,11 @@ def run_scaling_ladder(resume: bool = False) -> None:
     # headline-only reserve: while the ladder is still under the
     # 3-pair protocol MINIMUM it outranks the compressed leg and most
     # of the headline reserve (a <3-pair ladder is pairs_insufficient
-    # no matter how much tail runs)
-    MIN_TAIL_S = 600
+    # no matter how much tail runs). Measured headline blocks incl.
+    # probes ran 170-400 s across the round-5 full runs; 480 covers
+    # them with slack (600 missed a third pair by ~50 s in a hostile
+    # window that then left the budget unused).
+    MIN_TAIL_S = 480
     leg_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
 
     if _LADDER_STATE is None:
@@ -707,12 +710,27 @@ def run_scaling_ladder(resume: bool = False) -> None:
         # fast-window 4N leg -> pair "efficiency" 1.167), and another
         # where a throttle started mid-4N-leg (0.522). The mid probe
         # plus an absolute-speed stationarity gate kills both.
+        #
+        # Leg ORDER alternates pair to pair (lo,hi / hi,lo / ...): with
+        # lo always first, a host whose speed drifts monotonically
+        # within every pair window biases every pair's efficiency in
+        # the SAME direction (drift-up inflates, drift-down deflates —
+        # the round-5 hostile evening ran four lo-first pairs at
+        # 0.48-0.79 under visibly drifting probes). Alternating the
+        # order makes first-order drift cancel across consecutive
+        # pairs in the median.
         t_pair = time.time()
+        flip = len(ladder) % 2 == 1
         hp_a = host_probe(SCALE_N)
-        lo = _spawn_worker(SCALE_N, BENCH_CONVS, reps=leg_reps)
+        first = _spawn_worker(
+            4 * SCALE_N if flip else SCALE_N, BENCH_CONVS, reps=leg_reps
+        )
         hp_m = host_probe(SCALE_N)
-        hi = _spawn_worker(4 * SCALE_N, BENCH_CONVS, reps=leg_reps)
+        second = _spawn_worker(
+            SCALE_N if flip else 4 * SCALE_N, BENCH_CONVS, reps=leg_reps
+        )
         hp_b = host_probe(SCALE_N)
+        lo, hi = (second, first) if flip else (first, second)
         edges = (hp_a, hp_m, hp_b)
         effs = [h["efficiency_n_to_4n"] for h in edges]
         mops_hi = [h[f"mops_{4 * SCALE_N}"] for h in edges]
@@ -745,6 +763,7 @@ def run_scaling_ladder(resume: bool = False) -> None:
                 ),
                 "pair_seconds": round(time.time() - t_pair, 1),
                 "leg_reps": leg_reps,
+                "leg_order": "hi_lo" if flip else "lo_hi",
                 "post_headline": post_headline,
             }
         )
@@ -792,7 +811,7 @@ def run_scaling_ladder(resume: bool = False) -> None:
             if resume:
                 costs = sorted(p["pair_seconds"] for p in ladder)
                 est = costs[0] if costs else 600.0
-                if _remaining() < est * 1.1 + 90:
+                if _remaining() < est * 1.1 + 60:
                     scal["stop_reason"] = "resume_budget"
                     break
             _run_pair(post_headline=resume)
