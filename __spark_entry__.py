@@ -480,9 +480,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the REAL decoders (mapInPandas over
     binary payloads -> fixed-dim features): a deterministic seeded
-    media table (real PPM/PNG/JPEG images + PCM WAV audio) decoded
-    with fake=False. NOT SQL-expressible (bit-level image/audio codecs
-    have no DuckDB analog), so this entry intentionally has NO
+    media table (real PPM/PNG/JPEG images + PCM WAV audio + MJPEG-AVI
+    video, frame-sampled through the JPEG decoder) decoded with
+    fake=False. NOT SQL-expressible (bit-level image/audio/video
+    codecs have no DuckDB analog), so this entry intentionally has NO
     oracle_sql() — the driver records the weaker rows-only check; the
     decoders themselves are golden-pinned in tests/test_textops.py.
     ``sf_dir`` is unused (the table is synthesized, not read) but kept
@@ -492,7 +493,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_media_frame,
     )
 
-    media = fake_media_frame(spark, n=36).where(F.col("kind") != "video")
+    media = fake_media_frame(spark, n=36)
     feats = extract_features(media, fake=False)
     return feats.select(
         "media_id",

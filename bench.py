@@ -384,9 +384,22 @@ def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
     100 TB deployment actually does. The checks stage materializes
     through a noop WRITE: a bare count() lets Catalyst skip the whole
     check/window pipeline (observed 0.5s "checks" on 14M rows).
+
+    The three tiers run as ONE action (round 5): 1D composes from 1H
+    composes from 1min in a single plan, with per-tier row counts
+    collected by ``observe()`` during the pass instead of a persist()
+    + count() per tier. The per-tier caches were the job's dominant
+    memory-bandwidth consumer (tens of millions of deserialized
+    grouping-set rows written and re-read through an 8g heap), which
+    both throttled on this host's 4->16 bandwidth ceiling and is not
+    what a real deployment does (tiers stream into their Iceberg
+    sinks; nothing holds a whole tier as JVM objects).
     """
     import glob as _glob
     import os as _os
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
 
     from enhydris_autoprocess_spark.config import (
         PipelineConfig,
@@ -395,7 +408,7 @@ def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
         RoccThreshold,
     )
     from enhydris_autoprocess_spark.operators import run_checks
-    from enhydris_autoprocess_spark.rollup import build_tiers
+    from enhydris_autoprocess_spark.rollup import rollup_tier, rollup_transcripts
     from enhydris_autoprocess_spark.schema import transcripts_to_series
     from enhydris_autoprocess_spark.synth import generate_transcripts_jvm
 
@@ -422,17 +435,19 @@ def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
     def job(tdf) -> int:
         checked = run_checks(transcripts_to_series(tdf), cfg)
         checked.write.format("noop").mode("overwrite").save()
-        tiers = build_tiers(tdf)
-        points, prev = 0, None
-        for name in ("1min", "1H", "1D"):
-            df = tiers[name].persist()  # coarser tiers compose from this one
-            points += df.count()
-            if prev is not None:
-                prev.unpersist()
-            prev = df
-        if prev is not None:
-            prev.unpersist()
-        return points
+        # single-pass tier chain; observe() counts each tier in-flight
+        obs = [Observation() for _ in range(3)]
+        t1 = rollup_transcripts(tdf, "1min").observe(
+            obs[0], F.count(F.lit(1)).alias("n")
+        )
+        t1h = rollup_tier(t1, "1H").observe(
+            obs[1], F.count(F.lit(1)).alias("n")
+        )
+        t1d = rollup_tier(t1h, "1D").observe(
+            obs[2], F.count(F.lit(1)).alias("n")
+        )
+        t1d.write.format("noop").mode("overwrite").save()
+        return sum(int(o.get["n"]) for o in obs)
 
     # cheap warmup: same plan shapes, ~1/16 of the files
     files = sorted(_glob.glob(_os.path.join(input_dir, "*.parquet")))
@@ -593,11 +608,15 @@ def run_scaling_ladder(resume: bool = False) -> None:
     # stationary absolute speed) is kept as a secondary check.
     HOST_CLEAN_LO, HOST_CLEAN_HI = 0.8, 1.05
     STATIONARY_SPREAD = 1.25
+    # Round 5's single-pass tier chain cut a pair from ~450-870 s to
+    # ~150-250 s, so the ladder can afford a real fleet of pairs — the
+    # median over 6-10 pairs is what actually defends the number
+    # against this host's 40%-in-minutes window swings.
     TARGET_PAIRS = int(
-        os.environ.get("SPARK_GRAFT_TARGET_PAIRS", str(max(SCALE_PAIRS, 5)))
+        os.environ.get("SPARK_GRAFT_TARGET_PAIRS", str(max(SCALE_PAIRS, 6)))
     )
     NEED_CLEAN = min(2, TARGET_PAIRS)
-    MAX_PAIRS = 8
+    MAX_PAIRS = 10
     # headline-only reserve: while the ladder is still under the
     # 3-pair protocol MINIMUM it outranks the compressed leg and most
     # of the headline reserve (a <3-pair ladder is pairs_insufficient

@@ -11,9 +11,14 @@ Four dependency-free REAL decoders are built in (stdlib + numpy only):
 - baseline JPEG (SOF0, 8-bit, gray / 4:4:4 / 4:2:2 / 4:2:0, restart
   markers) -> (h, w, 3) uint8 — spec Huffman + numpy einsum IDCT
   (``jpeg.py``; progressive/arithmetic raise);
-- WAV (RIFF PCM 8/16/32-bit) -> mono float32 samples + sample rate.
+- WAV (RIFF: integer PCM 8/16/32-bit, IEEE float32, G.711 A-law /
+  mu-law companding, IMA/DVI ADPCM) -> mono float32 samples + rate;
+- MJPEG-AVI video (RIFF 'AVI ' container, '00dc'/'00db' frames holding
+  baseline JPEGs) -> fps + frame-sampled pixel stacks, reusing the
+  JPEG decoder per sampled frame.
 
-Formats that genuinely need codec libraries (MP3/AAC, any video) stay
+Formats that genuinely need codec libraries (MP3/AAC, inter-coded
+video such as H.26x/VP9/AV1) stay
 STUBBED behind NotImplementedError unless ``fake=True``, in which
 case a deterministic fake decoder (seeded from the bytes) produces
 stable features so the Spark-side plumbing — schema, partitioning, UDF
@@ -194,13 +199,152 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[..., :3]  # RGB / RGBA (alpha dropped)
 
 
+# --- G.711 companding + IMA ADPCM (real compressed-audio formats with
+# fully-specified, reproducible tables — unlike MPEG audio, whose
+# 512-tap prototype filter is tabulated, not derivable) ---------------
+
+# IMA/DVI ADPCM step-size table (89 entries) and index-adjust table,
+# per the IMA Digital Audio spec / RFC 3551 §4.5.1.
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    """256-entry G.711 mu-law code -> linear int16 lookup."""
+    codes = np.arange(256, dtype=np.int64) ^ 0xFF  # transmitted inverted
+    sign = (codes & 0x80) != 0
+    exp = (codes >> 4) & 0x07
+    mant = codes & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    """256-entry G.711 A-law code -> linear int16 lookup (sign bit set
+    means positive, per ITU-T G.711)."""
+    codes = np.arange(256, dtype=np.int64) ^ 0x55  # even bits inverted
+    sign = (codes & 0x80) != 0
+    exp = (codes >> 4) & 0x07
+    mant = codes & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+def _compand_encode(samples16: np.ndarray, law: str) -> bytes:
+    """int16 -> G.711 bytes by exact inverse table search: each code's
+    decode value is the midpoint of its quantization cell, so encoding
+    picks the code whose decoded value is nearest (ties to smaller
+    magnitude) — bit-exact round-trip with the decode tables above."""
+    table = _ulaw_decode_table() if law == "u" else _alaw_decode_table()
+    order = np.argsort(table.astype(np.int64), kind="stable")
+    dec_sorted = table.astype(np.int64)[order]
+    pos = np.searchsorted(dec_sorted, samples16.astype(np.int64))
+    pos = np.clip(pos, 1, len(dec_sorted) - 1)
+    left = dec_sorted[pos - 1]
+    right = dec_sorted[pos]
+    pick = np.where(
+        np.abs(samples16 - left) <= np.abs(right - samples16), pos - 1, pos
+    )
+    return order[pick].astype(np.uint8).tobytes()
+
+
+def _ima_adpcm_decode_block(
+    block: bytes, n_samples: int
+) -> np.ndarray:
+    """One mono IMA-ADPCM WAV block -> int16 samples. Block = 4-byte
+    header (int16 predictor, uint8 step index, reserved) + packed
+    nibbles, low nibble first."""
+    pred, index = struct.unpack_from("<hB", block, 0)
+    out = np.empty(n_samples, dtype=np.int64)
+    out[0] = pred
+    nib = np.frombuffer(block, dtype=np.uint8, offset=4)
+    nibbles = np.empty(len(nib) * 2, dtype=np.uint8)
+    nibbles[0::2] = nib & 0x0F
+    nibbles[1::2] = nib >> 4
+    index = int(np.clip(index, 0, 88))
+    for i in range(1, n_samples):
+        code = int(nibbles[i - 1])
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        pred = pred - diff if code & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        index = max(0, min(88, index + int(_IMA_INDEX[code & 7])))
+    return out.astype(np.int16)
+
+
+def _ima_adpcm_encode_block(samples16: np.ndarray, index: int) -> tuple[bytes, int]:
+    """int16 samples -> one mono IMA-ADPCM block (first sample verbatim
+    in the header, rest as 4-bit codes). Returns (block, next index)."""
+    pred = int(samples16[0])
+    header = struct.pack("<hBB", pred, index, 0)
+    codes = []
+    for s in samples16[1:]:
+        step = int(_IMA_STEPS[index])
+        diff = int(s) - pred
+        code = 8 if diff < 0 else 0
+        diff = abs(diff)
+        q = 0
+        if diff >= step:
+            q |= 4
+            diff -= step
+        if diff >= step >> 1:
+            q |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            q |= 1
+        code |= q
+        # reconstruct exactly as the decoder will
+        rec = step >> 3
+        if q & 1:
+            rec += step >> 2
+        if q & 2:
+            rec += step >> 1
+        if q & 4:
+            rec += step
+        pred = pred - rec if code & 8 else pred + rec
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX[code & 7])))
+        codes.append(code)
+    if len(codes) % 2:
+        codes.append(0)
+    packed = bytes(
+        (codes[i] & 0x0F) | (codes[i + 1] << 4) for i in range(0, len(codes), 2)
+    )
+    return header + packed, index
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """RIFF WAV (PCM 8/16/32-bit int) -> (sample_rate, mono float32 in
-    [-1, 1]). Multi-channel input is averaged to mono."""
+    """RIFF WAV -> (sample_rate, mono float32 in [-1, 1]).
+
+    Real decode paths: integer PCM (8/16/32-bit, format 1), IEEE
+    float32 (format 3), G.711 A-law (6) and mu-law (7) companding, and
+    IMA/DVI ADPCM (0x11, block-structured 4-bit). Multi-channel input
+    is averaged to mono (ADPCM: mono only). MP3/AAC inside WAV (or
+    standalone) still require codec libraries."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
+    extra = b""
     data = None
     while pos + 8 <= len(payload):
         chunk_id = payload[pos : pos + 4]
@@ -208,28 +352,209 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         body = payload[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            extra = body[18:]  # past cbSize, when present
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, channels, rate, _, _, bits = fmt
-    if audio_format != 1:
-        raise NotImplementedError(f"only PCM wav supported (format {audio_format})")
-    if bits == 8:  # 8-bit PCM is unsigned
+    audio_format, channels, rate, _, block_align, bits = fmt
+    if audio_format == 1:
+        if bits == 8:  # 8-bit PCM is unsigned
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+            ) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            samples = (
+                np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+            )
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM not supported")
+    elif audio_format == 3:  # IEEE float
+        if bits != 32:
+            raise NotImplementedError(f"{bits}-bit float WAV not supported")
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law
+        table = _alaw_decode_table() if audio_format == 6 else _ulaw_decode_table()
+        samples = table[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.float32
+        ) / 32768.0
+    elif audio_format == 0x11:  # IMA/DVI ADPCM
+        if channels != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM not supported")
+        spb = struct.unpack_from("<H", extra, 0)[0] if len(extra) >= 2 else (
+            (block_align - 4) * 2 + 1
+        )
+        blocks = [
+            data[i : i + block_align]
+            for i in range(0, len(data) - block_align + 1, block_align)
+        ]
+        decoded = [
+            _ima_adpcm_decode_block(b, spb) for b in blocks
+        ]
         samples = (
-            np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
-        ) / 128.0
-    elif bits == 16:
-        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
-    elif bits == 32:
-        samples = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+            np.concatenate(decoded).astype(np.float32) / 32768.0
+            if decoded
+            else np.zeros(0, dtype=np.float32)
+        )
+        channels = 1
     else:
-        raise NotImplementedError(f"{bits}-bit PCM not supported")
+        raise NotImplementedError(
+            f"WAV format {audio_format} needs codec libraries "
+            "(supported here: PCM, float32, G.711 A/mu-law, IMA ADPCM)"
+        )
     if channels > 1:
         samples = samples[: len(samples) - len(samples) % channels]
         samples = samples.reshape(-1, channels).mean(axis=1)
     return rate, samples
+
+
+def _riff_subchunks(payload: bytes, pos: int, end: int):
+    """Yield ``(fourcc, list_type_or_None, body_start, body_size)`` for
+    the RIFF chunks between ``pos`` and ``end``. LIST chunks report
+    their list type; their sub-chunks are NOT descended into here (the
+    caller recurses where it cares). Chunks are word-aligned, same as
+    the WAV walker above."""
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if fourcc in (b"LIST", b"RIFF"):
+            yield fourcc, payload[body : body + 4], body + 4, size - 4
+        else:
+            yield fourcc, None, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[float, int, list[bytes]]:
+    """MJPEG AVI -> ``(fps, declared_total_frames, jpeg_frames)``.
+
+    Walks the RIFF tree: ``hdrl`` for the main header (``avih``:
+    dwMicroSecPerFrame, dwTotalFrames) and the video stream header
+    (``strh`` with fccType 'vids': dwScale/dwRate give the exact frame
+    rate), ``movi`` for the frame chunks (``##dc``/``##db``). Each
+    frame must itself be a baseline JPEG (fccHandler MJPG) — streams
+    compressed with inter-frame codecs raise NotImplementedError.
+    Frames inside a ``rec `` grouping LIST are also collected."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    fps = 0.0
+    total = 0
+    frames: list[bytes] = []
+    vids_handler = None
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal fps, total, vids_handler
+        for fourcc, ltype, body, size in _riff_subchunks(payload, pos, end):
+            if fourcc in (b"LIST", b"RIFF"):
+                walk(body, body + size, in_movi or ltype in (b"movi", b"rec "))
+            elif fourcc == b"avih" and size >= 20:
+                micro_per_frame, total_ = struct.unpack_from(
+                    "<I12xI", payload, body
+                )
+                total = total_
+                if fps == 0.0 and micro_per_frame:
+                    fps = 1e6 / micro_per_frame
+            elif fourcc == b"strh" and payload[body : body + 4] == b"vids":
+                vids_handler = payload[body + 4 : body + 8]
+                scale, rate = struct.unpack_from("<II", payload, body + 20)
+                if scale:
+                    fps = rate / scale
+            elif in_movi and fourcc[2:] in (b"dc", b"db") and size > 0:
+                frames.append(payload[body : body + size])
+
+    walk(12, len(payload), False)
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    if frames[0][:2] != b"\xff\xd8":
+        raise NotImplementedError(
+            "only MJPEG AVI is supported dependency-free (stream handler "
+            f"{vids_handler!r}); inter-coded video needs ffmpeg/cv2"
+        )
+    return fps or 1.0, total or len(frames), frames
+
+
+def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Resize (h, w[, c]) uint8 pixels to (out_h, out_w[, c]) by
+    bilinear interpolation (edge-aligned sampling, the cv2
+    INTER_LINEAR convention) — fully vectorized: one gather per corner
+    plus two lerps over the whole output grid."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    if pixels.ndim == 3:
+        wy, wx = wy[..., None], wx[..., None]
+    p = pixels.astype(np.float32)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def video_features(
+    fps: float, total_frames: int, sampled: list[np.ndarray]
+) -> np.ndarray:
+    """8-dim summary of a frame-sampled video: frame count, fps,
+    duration, luma mean/std over the sampled frames, mean inter-frame
+    motion (mean |Δ| of consecutive sampled grayscale frames), luma
+    extrema."""
+    grays = [f.astype(np.float32).mean(axis=2) for f in sampled]
+    stack = np.stack(grays)
+    motion = (
+        float(
+            np.mean(
+                [np.abs(a - b).mean() for a, b in zip(grays, grays[1:])]
+            )
+        )
+        if len(grays) > 1
+        else 0.0
+    )
+    return np.array(
+        [
+            total_frames,
+            fps,
+            total_frames / fps if fps else 0.0,
+            stack.mean(),
+            stack.std(),
+            motion,
+            stack.min(),
+            stack.max(),
+        ],
+        dtype=np.float32,
+    )
+
+
+def decode_video(
+    payload: bytes, fake: bool = False, frame_stride: int = 10
+) -> tuple[np.ndarray, int]:
+    """Video payload -> ``(feature vector, frames_sampled)``. The real
+    path decodes MJPEG AVI, sampling one frame every ``frame_stride``
+    seconds (at least the first frame; each sampled frame is a full
+    JPEG decode). Inter-coded formats need codec libraries (not in
+    this container)."""
+    from .jpeg import decode_jpeg
+
+    if fake:
+        return _fake_decode(payload), 1
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        fps, total, frames = decode_avi(payload)
+        step = max(1, int(round(fps * frame_stride)))
+        picks = frames[::step]
+        return video_features(fps, total, [decode_jpeg(f) for f in picks]), len(
+            picks
+        )
+    raise NotImplementedError(
+        "real decode of non-MJPEG-AVI video requires ffmpeg/cv2 (not "
+        "installed in this container); pass fake=True for the stub"
+    )
 
 
 def image_features(pixels: np.ndarray) -> np.ndarray:
@@ -296,15 +621,20 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Audio payload -> feature vector. Real path decodes RIFF PCM WAV;
-    compressed formats need codec libraries (not in this container)."""
+    """Audio payload -> feature vector. Real path decodes RIFF WAV —
+    integer/float PCM plus the COMPRESSED in-container codecs with
+    fully-specified tables (G.711 A-law / mu-law, IMA ADPCM).
+    Perceptual codecs (MP3/AAC) need codec libraries: their synthesis
+    filterbank prototype is a 512-entry tabulated constant that cannot
+    be faithfully reproduced without the spec tables."""
     if fake:
         return _fake_decode(payload)
     if payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload))
     raise NotImplementedError(
-        "real decode of non-WAV audio requires codec libraries (not "
-        "installed in this container); pass fake=True for the stub"
+        "real decode of non-RIFF audio (MP3/AAC/...) requires codec "
+        "libraries (not installed in this container); pass fake=True "
+        "for the stub"
     )
 
 
@@ -331,14 +661,17 @@ def extract_features(
             ):
                 payload = bytes(payload) if payload is not None else b""
                 if kind == "audio":
-                    feat = decode_audio(payload, fake=fake)
-                else:  # image | video (video real-decode is lib-blocked)
-                    feat = decode_image(payload, fake=fake)
-                frames = (
-                    max(1, int(duration_ms or 0) // (frame_stride * 1000))
-                    if kind == "video"
-                    else 1
-                )
+                    feat, frames = decode_audio(payload, fake=fake), 1
+                elif kind == "video":
+                    feat, frames = decode_video(
+                        payload, fake=fake, frame_stride=frame_stride
+                    )
+                    if fake:  # stub has no frames; estimate from metadata
+                        frames = max(
+                            1, int(duration_ms or 0) // (frame_stride * 1000)
+                        )
+                else:
+                    feat, frames = decode_image(payload, fake=fake), 1
                 out.append(
                     (
                         media_id,
@@ -457,12 +790,103 @@ def make_wav(rate: int, samples: np.ndarray) -> bytes:
     return hdr + pcm
 
 
+def make_wav_compressed(
+    rate: int, samples: np.ndarray, codec: str, block_samples: int = 505
+) -> bytes:
+    """Encode mono float32 [-1,1] -> compressed WAV (for tests):
+    ``codec`` is 'ulaw' (format 7), 'alaw' (6) or 'ima' (0x11 IMA
+    ADPCM, ``block_samples`` per block)."""
+    s16 = np.clip(samples * 32768.0, -32768, 32767).astype(np.int64)
+    if codec in ("ulaw", "alaw"):
+        fmt_tag = 7 if codec == "ulaw" else 6
+        body = _compand_encode(s16, "u" if codec == "ulaw" else "a")
+        block_align, bits, extra = 1, 8, b""
+    elif codec == "ima":
+        fmt_tag = 0x11
+        block_align = 4 + (block_samples - 1 + 1) // 2
+        extra = struct.pack("<HH", 2, block_samples)  # cbSize, samplesPerBlock
+        chunks = []
+        # seed the step index from the signal's typical step (the
+        # header carries it, so the decoder follows): starting at 0 on
+        # a hot signal costs ~10 samples of adaptation attack
+        diffs = np.abs(np.diff(s16))
+        typical = float(np.median(diffs)) if len(diffs) else 0.0
+        index = int(np.argmin(np.abs(_IMA_STEPS - max(typical, 7.0))))
+        for i in range(0, len(s16), block_samples):
+            blk = s16[i : i + block_samples]
+            if len(blk) < block_samples:  # pad the tail block
+                blk = np.concatenate(
+                    [blk, np.full(block_samples - len(blk), blk[-1])]
+                )
+            enc, index = _ima_adpcm_encode_block(blk, index)
+            chunks.append(enc.ljust(block_align, b"\x00"))
+        body = b"".join(chunks)
+        bits = 4
+    else:
+        raise ValueError(codec)
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt_tag, 1, rate, rate * block_align, block_align, bits
+    ) + extra
+
+    def chunk(cid: bytes, d: bytes) -> bytes:
+        return cid + struct.pack("<I", len(d)) + d + b"\x00" * (len(d) & 1)
+
+    inner = chunk(b"fmt ", fmt_body) + chunk(b"data", body)
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WAVE" + inner
+
+
+def make_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 5, quality: int = 90
+) -> bytes:
+    """Encode (h, w, 3) uint8 frames -> MJPEG AVI (for tests/fixtures):
+    RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh 'vids'/'MJPG',
+    strf BITMAPINFOHEADER } }, LIST movi { '00dc' JPEG ... } }."""
+    from .jpeg import encode_jpeg
+
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + b"\x00" * (
+            len(data) & 1
+        )
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0, 0,
+        len(frames),  # dwTotalFrames
+        0, 1,  # dwInitialFrames, dwStreams
+        max(len(j) for j in jpegs),
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, len(frames),  # dwScale, dwRate, dwStart, dwLength
+        max(len(j) for j in jpegs), 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def fake_media_frame(spark, n: int = 32, seed: int = 5) -> DataFrame:
     """Deterministic synthetic media table for tests: images are REAL
     tiny PPMs, PNGs, and baseline JPEGs (rotating, with rotating PNG
-    filter types / JPEG subsampling) and audio is REAL PCM WAV
-    (decodable with fake=False); video payloads are random bytes (real
-    video decode is lib-blocked)."""
+    filter types / JPEG subsampling), audio is REAL PCM WAV, and video
+    is REAL MJPEG AVI (all decodable with fake=False)."""
     from .jpeg import encode_jpeg
 
     rng = np.random.RandomState(seed)
@@ -483,15 +907,29 @@ def fake_media_frame(spark, n: int = 32, seed: int = 5) -> DataFrame:
                 )
         elif kind == "audio":
             t = np.arange(800, dtype=np.float32) / 8000.0
-            payload = make_wav(8000, np.sin(2 * np.pi * (100 + 50 * i) * t))
+            tone = np.sin(2 * np.pi * (100 + 50 * i) * t)
+            variant = (i // 3) % 3
+            if variant == 0:
+                payload = make_wav(8000, tone)
+            elif variant == 1:
+                payload = make_wav_compressed(8000, tone, "ulaw")
+            else:
+                payload = make_wav_compressed(8000, tone, "ima")
         else:
-            payload = rng.bytes(64 + int(rng.randint(0, 192)))
+            n_frames = 3 + (i // 3) % 4
+            payload = make_avi_mjpeg(
+                [
+                    rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                    for _ in range(n_frames)
+                ],
+                fps=5,
+            )
         rows.append(
             (
                 i,
                 kind,
                 {"image": "image/x-portable-pixmap", "audio": "audio/wav",
-                 "video": "video/mp4"}[kind],
+                 "video": "video/x-msvideo"}[kind],
                 8 if kind == "image" else None,
                 8 if kind == "image" else None,
                 int(rng.randint(1000, 60000)) if kind != "image" else None,
