@@ -54,13 +54,43 @@ def rollup_transcripts(df: DataFrame, step: Step | str) -> DataFrame:
     """Direct tier computation from the raw transcript table."""
     if isinstance(step, str):
         step = parse_step(step)
-    text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    return rollup_series(
+        df.select(
+            F.col("conv_id"),
+            F.coalesce(F.col("role"), F.lit("")).alias("role"),
+            F.col("ts"),
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("double")
+            .alias("__len"),
+            F.col("tool").isNotNull().cast("long").alias("__tool"),
+        ),
+        step,
+    )
+
+
+def rollup_series(
+    df: DataFrame,
+    step: Step | str,
+    key_col: str = "conv_id",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    len_col: str = "__len",
+    tool_col: str = "__tool",
+) -> DataFrame:
+    """Tier computation from an already-derived series frame (key,
+    role, ts, text-length channel, tool indicator) — lets checked /
+    windowed frames flow straight into the tier ladder in ONE plan
+    (scan -> checks -> tiers), the shape the reference pipeline runs
+    (checks feed aggregation), instead of re-scanning the raw table
+    per consumer."""
+    if isinstance(step, str):
+        step = parse_step(step)
     base = df.select(
-        F.col("conv_id"),
-        F.coalesce(F.col("role"), F.lit("")).alias("role"),
-        bucket_end(F.col("ts"), step).alias("ts"),
-        text_len.alias("__len"),
-        F.col("tool").isNotNull().cast("long").alias("__tool"),
+        F.col(key_col).alias("conv_id"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("role"),
+        bucket_end(F.col(ts_col), step).alias("ts"),
+        F.col(len_col).cast("double").alias("__len"),
+        F.col(tool_col).cast("long").alias("__tool"),
     )
     grouped = base.groupingSets(
         [["conv_id", "ts"], ["conv_id", "role", "ts"]],
