@@ -923,9 +923,17 @@ def run_scaling_ladder(resume: bool = False) -> None:
         edges = (hp_a, hp_m, hp_b)
         effs = [h["efficiency_n_to_4n"] for h in edges]
         mops_hi = [h[f"mops_{4 * SCALE_N}"] for h in edges]
-        clean = all(
-            HOST_CLEAN_LO <= e <= HOST_CLEAN_HI for e in effs
-        ) and max(mops_hi) / max(min(mops_hi), 1e-9) <= STATIONARY_SPREAD
+        # a pair is host-clean only if, additionally, the hypervisor
+        # stole <8% of BOTH legs' runnable cycles (measured DURING the
+        # legs — strictly better signal than the bracketing probes;
+        # steal is fair-share per thread, so it biases narrow legs
+        # harder and in the opposite direction to wide-leg theft)
+        clean = (
+            all(HOST_CLEAN_LO <= e <= HOST_CLEAN_HI for e in effs)
+            and max(mops_hi) / max(min(mops_hi), 1e-9) <= STATIONARY_SPREAD
+            and lo["steal_share"] < 0.08
+            and hi["steal_share"] < 0.08
+        )
         hp_eff = round(sum(effs) / 3, 3)
         bw_eff = round(sum(h["bw_efficiency_n_to_4n"] for h in edges) / 3, 3)
         probes.append(
