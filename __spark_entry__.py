@@ -477,6 +477,26 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------------------------
 
 
+# Pinned digest of the 36-row media_features result (seeded table +
+# deterministic decoders => bit-stable). Recompute on intentional
+# decoder/fixture changes with:
+#   python -c "import __spark_entry__ as e; print(e._media_digest_live())"
+# and re-pin BOTH here and in tests/test_textops.py's recompute test.
+_MEDIA_FEATURES_DIGEST = "16c3981b3374b1a3"
+
+
+def media_features_digest(rows) -> str:
+    """Canonical digest of collected media_features rows (sorted by
+    media_id; floats at the same 6-decimal rounding the query emits)."""
+    import hashlib
+
+    canon = ";".join(
+        f"{r.media_id}|{r.kind}|{r.n_bytes}|{r.sha256}|{r.f0:.6f}|{r.f1:.6f}"
+        for r in sorted(rows, key=lambda r: r.media_id)
+    )
+    return hashlib.sha256(canon.encode()).hexdigest()[:16]
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the REAL decoders (mapInPandas over
     binary payloads -> fixed-dim features): a deterministic seeded
@@ -484,8 +504,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     video, frame-sampled through the JPEG decoder) decoded with
     fake=False. NOT SQL-expressible (bit-level image/audio/video
     codecs have no DuckDB analog), so this entry intentionally has NO
-    oracle_sql() — the driver records the weaker rows-only check; the
-    decoders themselves are golden-pinned in tests/test_textops.py.
+    oracle_sql() — but it is SELF-ASSERTING (VERDICT r05 next-round
+    #3): the seeded table and deterministic decoders make the full
+    36-row result bit-stable, so the query collects it (bounded by
+    construction), checks its digest against the pinned golden, and
+    raises on ANY decoder/feature drift — the driver's ``err`` field
+    becomes a real correctness signal instead of a row count.
     ``sf_dir`` is unused (the table is synthesized, not read) but kept
     for the uniform signature."""
     from enhydris_autoprocess_spark.textops.multimodal import (
@@ -493,8 +517,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_media_frame,
     )
 
-    media = fake_media_frame(spark, n=36)
-    feats = extract_features(media, fake=False)
+    out = _media_features_frame(spark)
+    digest = media_features_digest(out.collect())
+    if digest != _MEDIA_FEATURES_DIGEST:
+        raise ValueError(
+            f"media_features drift: digest {digest} != pinned "
+            f"{_MEDIA_FEATURES_DIGEST} — a decoder or fixture changed; "
+            "if intentional, re-pin _MEDIA_FEATURES_DIGEST"
+        )
+    return out
+
+
+def _media_features_frame(spark: SparkSession) -> DataFrame:
+    from enhydris_autoprocess_spark.textops.multimodal import (
+        extract_features,
+        fake_media_frame,
+    )
+
+    feats = extract_features(fake_media_frame(spark, n=36), fake=False)
     return feats.select(
         "media_id",
         "kind",
@@ -503,6 +543,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.element_at("feature", 2), 6).alias("f1"),
     )
+
+
+def _media_digest_live() -> str:
+    """Convenience for re-pinning after an intentional decoder change:
+    python -c "import __spark_entry__ as e; print(e._media_digest_live())"
+    """
+    from enhydris_autoprocess_spark.session import build_session
+
+    spark = build_session(master="local[4]")
+    try:
+        return media_features_digest(_media_features_frame(spark).collect())
+    finally:
+        spark.stop()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -474,6 +474,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker;
+        # skip them so the byte after the LAST 0xFF is read as the marker
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -517,6 +521,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            # legal baseline variants this decoder does not model: a
+            # second SOS would silently overwrite scan_data while
+            # scan_comps kept accumulating, decoding garbage
+            if scan_data is not None:
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG not supported"
+                )
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (partial-component scan) baseline "
+                    "JPEG not supported"
+                )
             for si in range(ns):
                 cid, tt = body[1 + si * 2 : 3 + si * 2]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cid)

@@ -387,6 +387,14 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         spb = struct.unpack_from("<H", extra, 0)[0] if len(extra) >= 2 else (
             (block_align - 4) * 2 + 1
         )
+        # a block holds the 4-byte header's predictor plus 2 nibbles per
+        # remaining byte; a larger declared samplesPerBlock is malformed
+        nibble_cap = (block_align - 4) * 2 + 1
+        if not 1 <= spb <= nibble_cap:
+            raise ValueError(
+                f"IMA ADPCM samplesPerBlock {spb} exceeds block capacity "
+                f"{nibble_cap} (block_align={block_align})"
+            )
         blocks = [
             data[i : i + block_align]
             for i in range(0, len(data) - block_align + 1, block_align)

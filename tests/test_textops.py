@@ -556,3 +556,155 @@ def test_wav_compressed_codecs(spark):
     feats = extract_features(media, fake=False).collect()
     assert len(feats) == 12
     assert all(r.feature[1] == 8000.0 for r in feats)
+
+
+def test_jpeg_fill_bytes_and_multiscan_guards():
+    """ADVICE r05: (a) T.81 B.1.1.2 allows any number of 0xFF pad
+    bytes before a marker — a padded file must decode identically, not
+    misparse a bogus segment length; (b) multi-scan / non-interleaved
+    baseline files (legal per T.81 but not modeled here) must raise
+    NotImplementedError instead of silently decoding garbage."""
+    import struct
+
+    import numpy as np
+
+    from enhydris_autoprocess_spark.textops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack(
+        [(yy * 5) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    blob = encode_jpeg(img, quality=90)
+    clean = decode_jpeg(blob)
+
+    # pad several markers with fill 0xFF bytes: after SOI and before SOS
+    sos = blob.find(b"\xff\xda")
+    padded = (
+        blob[:2] + b"\xff\xff\xff" + blob[2:sos] + b"\xff" + blob[sos:]
+    )
+    assert np.array_equal(decode_jpeg(padded), clean)
+
+    # a SECOND SOS after the first scan (multi-scan) raises
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(blob[:-2] + blob[sos:])
+
+    # a partial-component (non-interleaved) scan raises: rewrite the
+    # SOS header to declare only the first of the three components
+    (length,) = struct.unpack_from(">H", blob, sos + 2)
+    body = blob[sos + 4 : sos + 2 + length]
+    ns = body[0]
+    assert ns == 3
+    new_body = bytes([1]) + body[1:3] + body[1 + 2 * ns :]
+    patched = (
+        blob[:sos]
+        + b"\xff\xda"
+        + struct.pack(">H", 2 + len(new_body))
+        + new_body
+        + blob[sos + 2 + length :]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(patched)
+
+
+def test_adpcm_rejects_oversized_samples_per_block():
+    """ADVICE r05: a malformed WAV whose fmt extension declares more
+    samplesPerBlock than the block's nibbles can hold must raise
+    ValueError, not crash with a numpy IndexError."""
+    import struct
+
+    import numpy as np
+
+    from enhydris_autoprocess_spark.textops.multimodal import (
+        decode_wav,
+        make_wav_compressed,
+    )
+
+    tone = np.sin(np.linspace(0, 40 * np.pi, 2000)).astype(np.float32) * 0.5
+    blob = make_wav_compressed(8000, tone, "ima", block_samples=505)
+    rate, _ = decode_wav(blob)  # well-formed decodes fine
+    assert rate == 8000
+
+    fmt_at = blob.find(b"fmt ")
+    spb_at = fmt_at + 8 + 18  # fmt body + (16 packed fields + cbSize)
+    assert struct.unpack_from("<H", blob, spb_at)[0] == 505
+    bad = blob[:spb_at] + struct.pack("<H", 0xFFFF) + blob[spb_at + 2 :]
+    with pytest.raises(ValueError, match="samplesPerBlock"):
+        decode_wav(bad)
+    zero = blob[:spb_at] + struct.pack("<H", 0) + blob[spb_at + 2 :]
+    with pytest.raises(ValueError, match="samplesPerBlock"):
+        decode_wav(zero)
+
+
+def test_jpeg_decoder_cross_validated_against_lossless_png():
+    """VERDICT r05 #5: round-trip tests cannot see a bug shared by the
+    JPEG encoder AND decoder (e.g. a transposed zigzag on both sides
+    cancels out). Decode the SAME pixels through the independent,
+    golden-pinned lossless PNG path and through encode_jpeg/decode_jpeg
+    and require the JPEG result to sit within DCT-quantization bounds
+    of the lossless ground truth — a shared-transform bug would blow
+    the bound even though the round-trip stayed closed."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.textops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from enhydris_autoprocess_spark.textops.multimodal import (
+        decode_png,
+        make_png,
+    )
+
+    yy, xx = np.mgrid[0:48, 0:40]
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    img = (img.astype(np.int64) // 4 * 4).astype(np.uint8)
+
+    truth = decode_png(make_png(img, filter_type=4))
+    assert np.array_equal(truth, img)  # PNG path is lossless
+
+    for quality, mean_bound, max_bound in ((95, 1.5, 8), (75, 4.0, 24)):
+        for ss in ("444", "420"):
+            got = decode_jpeg(encode_jpeg(img, quality=quality, subsample=ss))
+            err = np.abs(got.astype(np.int64) - truth.astype(np.int64))
+            assert err.mean() < mean_bound, (quality, ss, err.mean())
+            assert err.max() <= max_bound, (quality, ss, err.max())
+
+    # grayscale path against the PNG gray ground truth
+    gray = ((yy * 5 + xx) % 256).astype(np.uint8)
+    gtruth = decode_png(make_png(gray, color=0))
+    gout = decode_jpeg(encode_jpeg(gray, quality=95))
+    gerr = np.abs(gout[..., 0].astype(np.int64) - gtruth[..., 0].astype(np.int64))
+    assert gerr.mean() < 1.5 and gerr.max() <= 10
+
+
+def test_media_features_gate_entry_self_asserts(spark):
+    """VERDICT r05 #3: the media_features driver entry has no SQL
+    oracle (bit-level codecs), so it self-asserts — the seeded table +
+    deterministic decoders give a bit-stable 36-row result whose
+    digest is pinned; ANY decoder/fixture drift makes the gate entry
+    raise instead of row-counting green."""
+    from collections import namedtuple
+
+    import __spark_entry__ as e
+
+    out = e.q_media_features(spark, "unused")  # raises on drift
+    rows = out.collect()
+    assert len(rows) == 36
+    assert e.media_features_digest(rows) == e._MEDIA_FEATURES_DIGEST
+
+    # a one-ulp feature perturbation MUST change the digest
+    Row = namedtuple("Row", ["media_id", "kind", "n_bytes", "sha256", "f0", "f1"])
+    plain = [Row(r.media_id, r.kind, r.n_bytes, r.sha256, r.f0, r.f1) for r in rows]
+    bent = list(plain)
+    bent[7] = bent[7]._replace(f0=bent[7].f0 + 1e-6)
+    assert e.media_features_digest(bent) != e._MEDIA_FEATURES_DIGEST
+    # ... as must a payload change (sha256 drift)
+    bent2 = list(plain)
+    bent2[0] = bent2[0]._replace(sha256="0" * 64)
+    assert e.media_features_digest(bent2) != e._MEDIA_FEATURES_DIGEST
+    # digest is order-invariant (driver-side collect order is not pinned)
+    assert e.media_features_digest(list(reversed(plain))) == e._MEDIA_FEATURES_DIGEST
