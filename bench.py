@@ -156,8 +156,103 @@ def _on_alarm(signum, frame) -> None:
     RESULT["elapsed_s"] = round(time.monotonic() - _T0, 1)
     if RESULT.get("value") is None:
         RESULT["value"] = 0.0
-    print(json.dumps(RESULT), flush=True)
+    _flush()
+    print(compact_line(RESULT), flush=True)
     os._exit(0)
+
+
+# The driver records only the LAST ~2.1 KB of stdout; round 5's final
+# line was ~5.3 KB and arrived truncated mid-token (VERDICT r05 wrong
+# #1 — the fifth consecutive unparseable BENCH artifact, this time
+# purely on line length). The line of record is therefore a COMPACT
+# summary — headline per-query medians + totals, the scaling ladder's
+# efficiency/pairs/clean-pairs, codec + compressed-leg throughput, and
+# the headline window's host context — with the full payload living in
+# the ``bench_partial.json`` sidecar it points at. Anything still over
+# the cap sheds lowest-value keys first; the contract keys (metric /
+# value / unit / queries / sf) are never dropped.
+_LINE_CAP_BYTES = 1500
+
+
+def compact_line(result: dict, cap: int = _LINE_CAP_BYTES) -> str:
+    scal = result.get("scaling") or {}
+    n = scal.get("n", SCALE_N)
+    sc = {
+        k: scal[k]
+        for k in (
+            "n",
+            "attempts",
+            "clean_pairs",
+            "efficiency_n_to_4n",
+            "efficiency_clean_pairs",
+            "efficiency_all_pairs",
+            "efficiency_vs_sustained_bw",
+            "host_sustained_bw_eff",
+            f"turns_per_sec_local{n}",
+            f"turns_per_sec_local{4 * n}",
+            f"throughput_points_per_sec_local{n}",
+            f"throughput_points_per_sec_local{4 * n}",
+            "stop_reason",
+        )
+        if k in scal
+    }
+    if isinstance(sc.get("stop_reason"), str):
+        sc["stop_reason"] = sc["stop_reason"][:60]
+    gc = result.get("gorilla_codec") or {}
+    pc = result.get("pipeline_compressed") or {}
+    out = {
+        # contract keys first (never shed)
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit", "sec"),
+        "sf": result.get("sf"),
+        "queries": result.get("queries") or {},
+        # context + evidence summary
+        "cpus": result.get("cpus"),
+        "queries_protocol": result.get("queries_protocol"),
+        "scaling": sc,
+        "host_context": result.get("headline_host_context"),
+        "pipeline_compressed": {
+            k: pc[k]
+            for k in (
+                "turns",
+                "run_seconds",
+                "turns_per_sec",
+                "gorilla_bytes_per_point",
+                "spark_encode_pts_per_sec",
+                "spark_decode_pts_per_sec",
+                "roundtrip_ok",
+                "skipped_for_budget",
+            )
+            if k in pc
+        },
+        "gorilla_codec": {
+            k: gc[k]
+            for k in ("encode_fast_pts_per_sec", "decode_pts_per_sec")
+            if k in gc
+        },
+        "sections_done": result.get("sections_done"),
+        "alarm_flush": result.get("alarm_flush"),
+        "elapsed_s": result.get("elapsed_s"),
+        "sidecar": "bench_partial.json",
+    }
+    out = {k: v for k, v in out.items() if v not in (None, {})}
+    shed_order = (
+        "sections_done",
+        "gorilla_codec",
+        "host_context",
+        "queries_protocol",
+        "pipeline_compressed",
+        "cpus",
+        "scaling",
+    )
+    line = json.dumps(out, separators=(",", ":"))
+    for key in shed_order:
+        if len(line.encode()) <= cap:
+            break
+        out.pop(key, None)
+        line = json.dumps(out, separators=(",", ":"))
+    return line
 
 
 HEADLINE = [
@@ -499,12 +594,19 @@ def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
     job(warm)
 
     best, points, checked_rows = float("inf"), 0, 0
-    stat0 = _stat_cpu()
+    # steal is sampled PER REP and the chosen (best) rep keeps its own
+    # steal share — with reps>1 a whole-loop sample would mix non-best
+    # reps' theft into the correction of the best rep's wall (ADVICE
+    # r05 #4; default reps=1, where the two are identical)
+    steal = 0.0
     for _ in range(max(reps, 1)):
+        stat0 = _stat_cpu()
         t0 = time.time()
         points, checked_rows = job(transcripts)
-        best = min(best, time.time() - t0)
-    steal = _steal_share(stat0, _stat_cpu())
+        wall = time.time() - t0
+        rep_steal = _steal_share(stat0, _stat_cpu())
+        if wall < best:
+            best, steal = wall, rep_steal
     transcripts.unpersist()
     # steal-corrected wall time: the leg would have finished in
     # (1 - steal) of the wall had the hypervisor delivered the cycles
@@ -636,6 +738,31 @@ def sustained_probe(n: int, secs: float = 12.0) -> dict:
         out[f"sgbps_{procs}"] = round(sum(bw) / 1e9, 1)
     out["cpu_eff"] = round(out[f"smops_{4 * n}"] / out[f"smops_{n}"] / 4, 3)
     out["bw_eff"] = round(out[f"sgbps_{4 * n}"] / out[f"sgbps_{n}"] / 4, 3)
+    return out
+
+
+def _window_gate(secs: float = 5.0) -> dict:
+    """Cheap pre-pair window check for the resume phase (VERDICT r05
+    wrong #2: the round-5 driver run spent its whole leftover budget
+    recording MORE hostile-window pairs and finished with
+    ``clean_pairs: []``). ~15 s of sustained spin at N and 4N procs
+    with the hypervisor steal share sampled across it; a pair costs
+    ~500-900 s, so skipping a visibly stolen/throttled window is
+    nearly free. ``ok`` uses the same two-sided band and steal
+    threshold as the ladder's own host-clean classification."""
+    import multiprocessing as mp
+
+    stat0 = _stat_cpu()
+    out: dict = {}
+    for procs in (SCALE_N, 4 * SCALE_N):
+        with mp.Pool(procs) as p:
+            res = p.map(_spin_secs, [secs] * procs)
+        out[f"smops_{procs}"] = round(sum(res) / secs / 1e6, 1)
+    steal = _steal_share(stat0, _stat_cpu())
+    eff = out[f"smops_{4 * SCALE_N}"] / max(out[f"smops_{SCALE_N}"], 1e-9) / 4
+    out["eff"] = round(eff, 3)
+    out["steal_share"] = round(steal, 4)
+    out["ok"] = bool(0.8 <= eff <= 1.05 and steal < 0.08)
     return out
 
 
@@ -1030,6 +1157,20 @@ def run_scaling_ladder(resume: bool = False) -> None:
                 if _remaining() < est * 1.1 + 60:
                     scal["stop_reason"] = "resume_budget"
                     break
+                # probe-gate each resume attempt: a ~15 s window check
+                # beats burning another ~700 s hostile pair. Hostile
+                # probe -> sleep and re-probe until the window clears
+                # or the budget runs out (the clean pair, if the host
+                # ever allows one, is worth the wait — VERDICT r05 #2).
+                gate = _window_gate()
+                scal.setdefault("resume_probes", []).append(gate)
+                if not gate["ok"]:
+                    if _remaining() < est * 1.1 + 240:
+                        scal["stop_reason"] = "resume_budget_hostile"
+                        break
+                    _flush()
+                    time.sleep(75)
+                    continue
             _run_pair(post_headline=resume)
             _recompute()
             _flush()
@@ -1117,8 +1258,12 @@ def main() -> None:
     total = 0.0
     # Host provenance for the headline block (VERDICT r03 #2): one
     # probe at each edge makes a throttled window visible next to the
-    # numbers it throttled.
+    # numbers it throttled, and the steal share measured ACROSS the
+    # whole block self-explains an inflated median in the artifact
+    # itself (VERDICT r05 wrong #3: 7.4 s minhash needed the
+    # checked-in runs for context).
     RESULT["host_probe"] = {"pre": host_probe(SCALE_N)}
+    _stat_headline = _stat_cpu()
     RESULT["queries"] = times
     # Median is the headline (protocol of r04+); min is recorded
     # alongside so rounds measured under the old best-of protocol
@@ -1158,7 +1303,16 @@ def main() -> None:
         times_min[name] = round(min(reps), 3)
         total += times[name]
         _flush()
+    RESULT["headline_host_context"] = {
+        "steal_share": round(_steal_share(_stat_headline, _stat_cpu()), 3)
+    }
     RESULT["host_probe"]["post"] = host_probe(SCALE_N)
+    RESULT["headline_host_context"]["probe_pre_eff"] = RESULT["host_probe"][
+        "pre"
+    ]["efficiency_n_to_4n"]
+    RESULT["headline_host_context"]["probe_post_eff"] = RESULT["host_probe"][
+        "post"
+    ]["efficiency_n_to_4n"]
     RESULT["value"] = round(total, 3)
     if skipped:
         RESULT["queries_skipped_for_budget"] = skipped
@@ -1185,7 +1339,10 @@ def main() -> None:
 
     signal.alarm(0)
     RESULT["elapsed_s"] = round(time.monotonic() - _T0, 1)
-    print(json.dumps(RESULT))
+    # full payload -> sidecar; the line of record stays under the
+    # driver's ~2.1 KB stdout tail capture (VERDICT r05 wrong #1)
+    _flush()
+    print(compact_line(RESULT))
 
 
 if __name__ == "__main__":
