@@ -33,6 +33,7 @@ from .config import (  # noqa: F401
     CurveInterpolationConfig,
     CurvePeriod,
     PipelineConfig,
+    QuantileRollupConfig,
     RangeCheckConfig,
     RateOfChangeConfig,
     RoccThreshold,

@@ -177,6 +177,40 @@ class AggregationConfig:
 
 
 @dataclass(frozen=True)
+class QuantileRollupConfig:
+    """Per-key quantile tier over the checked series (no reference
+    analog — models.py's Aggregation supports only the nine scalar
+    methods; this is the percentile extension the north-star text-
+    length reports need).
+
+    ``hot_count_threshold`` (rows per (key, bucket) group): when set,
+    the tier runs through ``rollup.quantile_rollup_auto`` — groups
+    above the threshold use the mergeable approx_percentile sketch
+    (rank error <= n/``accuracy``, O(accuracy) memory), everything
+    else stays bit-exact — so one hot conversation cannot pin an
+    unbounded value buffer in a single task. ``None`` keeps every
+    group exact (the default; right when per-key groups are known to
+    fit a task, which is the same assumption every per-key window
+    makes)."""
+
+    target_time_step: str
+    quantiles: tuple[float, ...] = (0.5, 0.95)
+    hot_count_threshold: int | None = None
+    accuracy: int = 10000
+
+    def __post_init__(self):
+        parse_step(self.target_time_step)
+        if not self.quantiles:
+            raise ValueError("quantiles must be non-empty")
+        if any(not 0.0 < q < 1.0 for q in self.quantiles):
+            raise ValueError("quantiles must be strictly between 0 and 1")
+        if self.hot_count_threshold is not None and self.hot_count_threshold <= 0:
+            raise ValueError("hot_count_threshold must be positive")
+        if self.accuracy <= 0:
+            raise ValueError("accuracy must be positive")
+
+
+@dataclass(frozen=True)
 class PipelineConfig:
     """One logical series' processing DAG: checks -> (curve) -> tiers.
 
@@ -189,4 +223,7 @@ class PipelineConfig:
     rate_of_change: RateOfChangeConfig | None = None
     curve_interpolation: CurveInterpolationConfig | None = None
     aggregations: tuple[AggregationConfig, ...] = field(default_factory=tuple)
+    quantile_rollups: tuple[QuantileRollupConfig, ...] = field(
+        default_factory=tuple
+    )
     source_time_step: str = "1min"

@@ -92,6 +92,7 @@ class Pipeline:
         compress_tiers: bool = False,
         hot_key_chunking: bool = True,
         hot_chunk_span_seconds: int = 7 * 86400,
+        fused_rollups: bool = False,
     ):
         """``hot_key_chunking`` (default on): the two per-key serial
         stages — the rate-of-change window sort and the pandas
@@ -128,6 +129,13 @@ class Pipeline:
         self.compress_tiers = compress_tiers
         self.hot_key_chunking = hot_key_chunking
         self.hot_chunk_span_seconds = hot_chunk_span_seconds
+        # ``fused_rollups``: compute the coarser rollup tiers from the
+        # in-memory finer slice instead of re-reading the finer tier's
+        # freshly written parquet (see run_rollups). Output-identical
+        # (pinned by tests), so — like hot_key_chunking — the knob is
+        # excluded from the config hash and never invalidates
+        # checkpoints.
+        self.fused_rollups = fused_rollups
 
     def table(self, name: str) -> TierTable:
         if name not in self.tables:
@@ -157,9 +165,12 @@ class Pipeline:
         hwm_key: str,
         t0: float,
         lineage: dict,
+        keep_persisted: bool = False,
     ) -> StageResult:
         """Persist output, append snapshot, advance HWM from hwm_df
-        (columns: hwm_key + ts)."""
+        (columns: hwm_key + ts). ``keep_persisted`` leaves ``out_df``
+        cached for a downstream consumer (fused rollups reuse the
+        finer tier in memory); the caller then owns the unpersist."""
         table = self.table(stage)
         out = out_df.persist()
         # one agg over the persisted frame gives the manifest row count
@@ -198,7 +209,8 @@ class Pipeline:
             seconds=time.time() - t0,
             snapshot_id=snap.snapshot_id if snap else None,
         )
-        out.unpersist()
+        if not keep_persisted:
+            out.unpersist()
         return res
 
     # ------------------------------------------------------------------
@@ -308,15 +320,90 @@ class Pipeline:
             )
         return res
 
+    def run_quantile_tier(
+        self, cfg_index: int = 0, finalize: bool = True
+    ) -> StageResult:
+        """checked -> per-(key, bucket) quantile tier
+        (``QuantileRollupConfig``; VERDICT r05 #4 — the auto routing
+        existed but nothing exposed it declaratively).
+
+        With ``hot_count_threshold`` set the tier runs through
+        ``quantile_rollup_auto``: hot (key, bucket) groups use the
+        mergeable sketch, cold groups stay bit-exact. HWM: emitted
+        bucket ends — quantiles do NOT compose across slices, so a
+        bucket that may still receive rows is held back (``finalize=
+        False`` trims at the last complete bucket boundary) and
+        recomputed from the re-read source rows when more data
+        arrives, exactly like the agg tiers' trim-last contract.
+        NaN/NULL values (check-rejected points) are excluded: the
+        quantile of a bucket is over its PRESENT values."""
+        t0 = time.time()
+        cfg = self.cfg.quantile_rollups[cfg_index]
+        stage = f"quantile_{cfg.target_time_step}"
+        src = self.table("checked").read(
+            self.spark, min_ts_us=self.ckpt.global_min_hwm(stage)
+        )
+        if src is None:
+            return StageResult(stage, 0, time.time() - t0, None)
+        fresh = self.ckpt.filter_new(src, stage, key_col="key")
+        step = parse_step(cfg.target_time_step)
+        from .rollup import bucket_end, quantile_rollup, quantile_rollup_auto
+
+        bucketed = fresh.where(
+            F.col("value").isNotNull() & ~F.isnan("value")
+        ).select("key", bucket_end(F.col("ts"), step).alias("ts"), "value")
+        if not finalize:
+            max_ts = fresh.agg(F.max(F.unix_micros("ts"))).first()[0]
+            if max_ts is not None:
+                boundary = (max_ts // step.micros) * step.micros
+                bucketed = bucketed.where(
+                    F.unix_micros("ts") <= F.lit(boundary)
+                )
+        if cfg.hot_count_threshold is not None:
+            out = quantile_rollup_auto(
+                bucketed,
+                ("key", "ts"),
+                "value",
+                cfg.quantiles,
+                hot_count_threshold=cfg.hot_count_threshold,
+                accuracy=cfg.accuracy,
+            )
+        else:
+            out = quantile_rollup(bucketed, ("key", "ts"), "value", cfg.quantiles)
+        res = self._commit(
+            stage, out, out.select("key", "ts"), "key", t0, {"source": "checked"}
+        )
+        release_caches(out)
+        return res
+
     def run_rollups(
-        self, transcripts: DataFrame, finalize: bool = False
+        self,
+        transcripts: DataFrame,
+        finalize: bool = False,
+        fused: bool | None = None,
     ) -> list[StageResult]:
         """Continuous-aggregate tiers 1min -> 1H -> 1D.
 
         Unless ``finalize``, each tier only emits buckets ending at or
         before the slice's last complete bucket boundary, so a bucket
         that may still receive rows stays un-emitted and below the HWM
-        (the rollup analog of trim-last)."""
+        (the rollup analog of trim-last).
+
+        ``fused`` (default: the constructor's ``fused_rollups``,
+        VERDICT r05 #7): the cascade path re-reads each finer
+        TierTable from storage AFTER appending to it — at 10^12-turn
+        scale that's a full re-scan of freshly written parquet per
+        coarse tier per run. The fused path instead keeps the finer
+        slice persisted in memory and unions it with only the finer
+        table's *pre-append* tail above the coarse HWM (the held-back
+        incomplete-bucket rows from earlier runs, read as of the
+        pre-commit snapshot), so one lineage flows scan -> 1min -> 1H
+        -> 1D and storage is written, never re-read, within a run.
+        Tier contents are identical either way (pinned by
+        tests/test_pipeline_storage.py), so the knob is excluded from
+        the config hash."""
+        if fused is None:
+            fused = self.fused_rollups
         results = []
 
         # --- 1min: directly from the fresh transcript slice ---------------
@@ -330,6 +417,14 @@ class Pipeline:
         if not finalize and max_ts is not None:
             boundary = (max_ts // step_1min.micros) * step_1min.micros
             t1min = t1min.where(F.unix_micros("ts") <= F.lit(boundary))
+        # pre-append snapshot ids: the fused coarse tiers read the
+        # finer table AS OF these, so this run's own append (already
+        # in memory) is never re-read from disk
+        pre_sids: dict[str, int | None] = {}
+        if fused:
+            snap = self.table("rollup_1min").current_snapshot()
+            pre_sids["rollup_1min"] = snap.snapshot_id if snap else None
+            t1min = t1min.persist()
         results.append(
             self._commit(
                 "rollup_1min",
@@ -338,13 +433,15 @@ class Pipeline:
                 "conv_id",
                 t0,
                 {"source": "transcripts"},
+                keep_persisted=fused,
             )
         )
         fresh.unpersist()
+        prev_new = t1min  # persisted iff fused
 
         # --- coarser tiers: incremental over the FULL finer tier table ----
         # A coarse bucket can span finer rows emitted by earlier runs, so
-        # each coarse tier re-reads its finer TierTable above its own HWM
+        # each coarse tier consumes the finer tier above its own HWM
         # (finer rows of un-emitted coarse buckets are exactly the rows
         # above it). Exact-duplicate finer rows from an at-least-once
         # replay are dropped before summing.
@@ -352,12 +449,34 @@ class Pipeline:
             t0 = time.time()
             stage = f"rollup_{tier_step}"
             step = parse_step(tier_step)
-            finer = self.table(source_name).read(
-                self.spark, min_ts_us=self.ckpt.global_min_hwm(stage)
-            )
-            if finer is None:
-                results.append(StageResult(stage, 0, time.time() - t0, None))
-                continue
+            if fused:
+                # pre-append tail (held-back coarse buckets from
+                # earlier runs) + this run's in-memory finer rows —
+                # together exactly what the cascade's post-append read
+                # returns, without re-scanning the fresh parquet
+                tail = (
+                    self.table(source_name).read(
+                        self.spark,
+                        as_of_snapshot=pre_sids[source_name],
+                        min_ts_us=self.ckpt.global_min_hwm(stage),
+                    )
+                    if pre_sids[source_name] is not None
+                    else None
+                )
+                finer = (
+                    prev_new
+                    if tail is None
+                    else tail.unionByName(prev_new)
+                )
+            else:
+                finer = self.table(source_name).read(
+                    self.spark, min_ts_us=self.ckpt.global_min_hwm(stage)
+                )
+                if finer is None:
+                    results.append(
+                        StageResult(stage, 0, time.time() - t0, None)
+                    )
+                    continue
             finer_fresh = self.ckpt.filter_new(finer, stage, key_col="conv_id")
             finer_fresh = finer_fresh.dropDuplicates(["conv_id", "role", "ts"])
             tier = rollup_tier(finer_fresh, step)
@@ -365,6 +484,10 @@ class Pipeline:
             if not finalize and finer_max is not None:
                 boundary = (finer_max // step.micros) * step.micros
                 tier = tier.where(F.unix_micros("ts") <= F.lit(boundary))
+            if fused:
+                snap = self.table(stage).current_snapshot()
+                pre_sids[stage] = snap.snapshot_id if snap else None
+                tier = tier.persist()
             results.append(
                 self._commit(
                     stage,
@@ -373,8 +496,14 @@ class Pipeline:
                     "conv_id",
                     t0,
                     {"source": source_name},
+                    keep_persisted=fused,
                 )
             )
+            if fused:
+                prev_new.unpersist()
+                prev_new = tier
+        if fused:
+            prev_new.unpersist()
         return results
 
     def run(
@@ -384,6 +513,8 @@ class Pipeline:
         results = [self.run_checked(transcripts)]
         for i in range(len(self.cfg.aggregations)):
             results.append(self.run_agg_tier(i))
+        for i in range(len(self.cfg.quantile_rollups)):
+            results.append(self.run_quantile_tier(i, finalize=finalize))
         results.extend(self.run_rollups(transcripts, finalize=finalize))
         return results
 

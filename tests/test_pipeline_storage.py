@@ -676,3 +676,174 @@ def test_compress_series_stream_path(spark):
     a = {(r.key, r.ts, round(r.value, 9), r.flags) for r in df.collect()}
     b = {(r.key, r.ts, round(r.value, 9), r.flags) for r in back.collect()}
     assert a == b
+
+
+def test_pipeline_quantile_tier_exact_and_auto_routing(
+    spark, transcripts, tmp_path
+):
+    """VERDICT r05 #4: QuantileRollupConfig exposes per-(key, bucket)
+    quantile tiers declaratively. Default config reproduces the exact
+    operator bit-for-bit off the checked tier; with
+    hot_count_threshold set, hot buckets route through the mergeable
+    sketch (within rank epsilon) while cold buckets stay bit-exact."""
+    import numpy as np
+
+    from enhydris_autoprocess_spark.config import QuantileRollupConfig
+    from enhydris_autoprocess_spark.rollup import bucket_end, quantile_rollup
+    from enhydris_autoprocess_spark.timeutil import parse_step
+
+    base = dict(
+        range_check=CFG.range_check,
+        rate_of_change=CFG.rate_of_change,
+        source_time_step="1min",
+    )
+    cfg = PipelineConfig(
+        **base, quantile_rollups=(QuantileRollupConfig("H", (0.5,)),)
+    )
+    root = str(tmp_path / "qexact")
+    p = Pipeline(spark, root, cfg, gap_fill_enabled=False)
+    by_stage = {r.stage: r for r in p.run(transcripts, finalize=True)}
+    assert by_stage["quantile_H"].rows_out > 0
+
+    # ground truth straight off the committed checked tier
+    checked = TierTable(f"{root}/checked").read(spark)
+    step = parse_step("H")
+    bucketed = (
+        checked.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("key", bucket_end(F.col("ts"), step).alias("ts"), "value")
+        .cache()
+    )
+    want = {
+        (r.key, r.ts): (r.n, r.p50)
+        for r in quantile_rollup(bucketed, ("key", "ts"), "value", (0.5,)).collect()
+    }
+    got = {
+        (r.key, r.ts): (r.n, r.p50)
+        for r in TierTable(f"{root}/quantile_H").read(spark).collect()
+    }
+    assert got == want
+
+    # rerun with nothing new appends nothing (HWM held at bucket ends)
+    p_re = Pipeline(spark, root, cfg, gap_fill_enabled=False)
+    assert all(r.rows_out == 0 for r in p_re.run(transcripts, finalize=True))
+
+    # auto routing: pick a threshold that splits the buckets
+    counts = sorted(n for n, _ in want.values())
+    thr = counts[len(counts) // 2]
+    assert counts[0] <= thr < counts[-1], "fixture must have mixed bucket sizes"
+    cfg2 = PipelineConfig(
+        **base,
+        quantile_rollups=(
+            QuantileRollupConfig("H", (0.5,), hot_count_threshold=thr),
+        ),
+    )
+    root2 = str(tmp_path / "qauto")
+    p2 = Pipeline(spark, root2, cfg2, gap_fill_enabled=False)
+    p2.run(transcripts, finalize=True)
+    got2 = {
+        (r.key, r.ts): (r.n, r.p50)
+        for r in TierTable(f"{root2}/quantile_H").read(spark).collect()
+    }
+    assert set(got2) == set(want)
+    per_bucket: dict = {}
+    for r in bucketed.collect():
+        per_bucket.setdefault((r.key, r.ts), []).append(r.value)
+    bucketed.unpersist()
+    hot = cold = 0
+    for k, (n, p50) in want.items():
+        n2, p50_2 = got2[k]
+        assert n2 == n, k
+        if n <= thr:  # cold bucket: exact branch, bit-for-bit
+            cold += 1
+            assert p50_2 == p50, k
+        else:  # hot bucket: sketch within the rank-error bound. The
+            # returned value is an actual datum; with ties it occupies
+            # a rank INTERVAL [lo, hi], any part of which may hit the
+            # target rank.
+            hot += 1
+            vs = np.sort(per_bucket[k])
+            lo = float(np.searchsorted(vs, p50_2, side="left"))
+            hi = float(np.searchsorted(vs, p50_2, side="right") - 1)
+            target = (n - 1) * 0.5
+            eps = n / 10000 + 2
+            assert lo - eps <= target <= hi + eps, (k, p50_2, lo, hi)
+    assert hot > 0 and cold > 0
+
+
+def test_pipeline_quantile_tier_incremental_equals_oneshot(
+    spark, transcripts, tmp_path
+):
+    """Quantiles do NOT compose across slices, so the tier's HWM
+    contract (emit only complete buckets, recompute held-back buckets
+    from re-read source rows) is what keeps incremental == one-shot —
+    the cut lands mid-bucket on purpose."""
+    from enhydris_autoprocess_spark.config import QuantileRollupConfig
+
+    cfg = PipelineConfig(
+        range_check=CFG.range_check,
+        rate_of_change=CFG.rate_of_change,
+        quantile_rollups=(QuantileRollupConfig("H", (0.5, 0.95)),),
+        source_time_step="1min",
+    )
+    cut = dt.datetime(2024, 1, 2, 0, 30)  # mid-H-bucket
+    first = transcripts.where(F.col("ts") < F.lit(cut))
+
+    root_a = str(tmp_path / "q_oneshot")
+    Pipeline(spark, root_a, cfg, gap_fill_enabled=False).run(
+        transcripts, finalize=True
+    )
+    root_b = str(tmp_path / "q_incr")
+    pb = Pipeline(spark, root_b, cfg, gap_fill_enabled=False)
+    pb.run(first, finalize=False)
+    pb2 = Pipeline(spark, root_b, cfg, gap_fill_enabled=False)
+    pb2.run(transcripts, finalize=True)
+
+    a = _tier_canon(spark, root_a, "quantile_H")
+    b = _tier_canon(spark, root_b, "quantile_H")
+    assert a and a == b, f"{len(a)} vs {len(b)}; diff={list(a ^ b)[:4]}"
+
+
+def test_fused_rollups_equal_cascade(spark, transcripts, tmp_path):
+    """VERDICT r05 #7: fused_rollups computes 1H/1D from the in-memory
+    finer slice + the finer table's pre-append tail instead of
+    re-reading freshly written parquet. Tier contents must be
+    identical to the cascade across incremental runs with a
+    mid-bucket cut, the knob must not invalidate checkpoints
+    (cross-mode resume), and a fused rerun must stay idempotent."""
+    cut = dt.datetime(2024, 1, 2, 0, 30)  # mid-H, mid-D bucket
+    first = transcripts.where(F.col("ts") < F.lit(cut))
+
+    root_a = str(tmp_path / "cascade")
+    pa = Pipeline(spark, root_a, CFG, gap_fill_enabled=False)
+    pa.run_rollups(first, finalize=False)
+    pa.run_rollups(transcripts, finalize=True)
+
+    root_b = str(tmp_path / "fused")
+    pb = Pipeline(spark, root_b, CFG, gap_fill_enabled=False, fused_rollups=True)
+    r1 = pb.run_rollups(first, finalize=False)
+    r2 = pb.run_rollups(transcripts, finalize=True)
+    assert all(r.rows_out > 0 for r in r2), [(r.stage, r.rows_out) for r in r2]
+
+    for stage in ("rollup_1min", "rollup_1H", "rollup_1D"):
+        a = _tier_canon(spark, root_a, stage)
+        b = _tier_canon(spark, root_b, stage)
+        assert a == b, f"{stage}: {len(a)} vs {len(b)}; diff={list(a ^ b)[:4]}"
+
+    # fused rerun with nothing new appends nothing
+    r3 = pb.run_rollups(transcripts, finalize=True)
+    assert all(r.rows_out == 0 for r in r3), [(r.stage, r.rows_out) for r in r3]
+
+    # cross-mode resume: cascade batch 1, fused batch 2 on the same
+    # root — the knob is excluded from the config hash, so checkpoints
+    # survive and the result still matches
+    root_c = str(tmp_path / "crossmode")
+    Pipeline(spark, root_c, CFG, gap_fill_enabled=False).run_rollups(
+        first, finalize=False
+    )
+    Pipeline(
+        spark, root_c, CFG, gap_fill_enabled=False, fused_rollups=True
+    ).run_rollups(transcripts, finalize=True)
+    for stage in ("rollup_1min", "rollup_1H", "rollup_1D"):
+        assert _tier_canon(spark, root_c, stage) == _tier_canon(
+            spark, root_a, stage
+        ), stage
