@@ -58,6 +58,7 @@ from enhydris_autoprocess_spark.textops import (
     exact_dedup,
     language_id,
     lsh_cosine_topk,
+    MinHashIndex,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     quality_score,
@@ -419,6 +420,48 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_caches(out, cand)
 
 
+def q_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs via the PERSISTENT incremental index
+    (textops/dedup_incremental.py), driven over three id-modulo
+    batches, then exact shingle-Jaccard verification of the unioned
+    per-batch pairs.
+
+    Oracle: the same all-pairs jaccard>=0.5 SQL as ``minhash_dedup`` —
+    equality holds iff the batched index reproduces the one-shot LSH
+    candidates across batch boundaries (cross-batch candidates come
+    from the batch-vs-corpus bucket join, not the self-join; the
+    split-equivalence is also pinned by
+    tests/test_dedup_incremental.py) and banding recall is 1 at the
+    gate scale (see section comment above)."""
+    import shutil
+    import tempfile
+
+    docs = _documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mhidx-gate-")
+    try:
+        idx = MinHashIndex(spark, root, threshold=0.5, id_type="long")
+        frames = [
+            idx.append(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i))
+            for i in range(3)
+        ]
+        cand = (
+            frames[0].unionByName(frames[1]).unionByName(frames[2]).persist()
+        )
+        verified = ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, candidates=cand
+        )
+        out = verified.select(
+            "id_a", "id_b", round6(F.col("jaccard")).alias("jaccard")
+        )
+        # materialize before dropping the index directory: the lazy
+        # plan reads the committed parquet under ``root``
+        out = out.persist()
+        out.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return carry_caches(out, cand, *frames)
+
+
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k at the exhaustive-probe gate configuration
     (n_probe == n_cells => candidate set is the whole corpus, so the
@@ -607,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "simhash_dedup": q_simhash_dedup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
@@ -644,7 +688,7 @@ _SESSION_SQL = """
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "range_check": """
             SELECT event_id,
@@ -967,3 +1011,12 @@ def oracle_sql() -> dict[str, str]:
         # same ANSI session SQL
         "sessionize_chunked": _SESSION_SQL,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # the incremental index must reproduce the one-shot minhash answer
+    # over any batch split, so it checks against the same all-pairs
+    # Jaccard oracle
+    sql["minhash_dedup_incremental"] = sql["minhash_dedup"]
+    return sql

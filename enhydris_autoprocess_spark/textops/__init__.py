@@ -4,6 +4,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
+from .dedup_incremental import MinHashIndex  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_cosine_topk,
     embedding_near_dup_pairs,

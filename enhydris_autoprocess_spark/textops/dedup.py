@@ -249,7 +249,6 @@ def minhash_dedup_pairs(
     The persisted signature frame is attached to the result — release
     with ``cache.release_caches(out)`` after materializing.
     """
-    rows_per_band = num_hashes // bands
     with_sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_fast(F.col(text_col), num_hashes, shingle_k, seed).alias(
@@ -257,25 +256,7 @@ def minhash_dedup_pairs(
         ),
     ).persist()
 
-    band_cols = []
-    for b in range(bands):
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-        )
-    banded = with_sig.select(
-        "id", "sig", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = lsh_banded(with_sig, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -294,17 +275,44 @@ def minhash_dedup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / F.lit(num_hashes)
-    ).alias("est_jaccard")
+    est = sig_agreement("sig_a", "sig_b", num_hashes).alias("est_jaccard")
     out = cand.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
     return carry_caches(out, with_sig)
+
+
+def lsh_banded(with_sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode an (id, sig) frame to one row per (id, band) with the
+    band's bucket hash: bucket = xxhash64 of that band's signature
+    slice. Shared by the one-shot LSH self-join and the persistent
+    incremental index (dedup_incremental.py), which must band
+    identically for cross-batch candidates to collide."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+        )
+    return with_sig.select(
+        "id", "sig", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def sig_agreement(sig_a, sig_b, num_hashes: int) -> Column:
+    """Estimated Jaccard: fraction of agreeing minhash components."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
 
 
 def _simhash_fp_fast(text: Column, shingle_k: int) -> Column:
