@@ -167,8 +167,16 @@ def minhash_signature_fast(
         flat = np.concatenate(
             [np.asarray(w, dtype=object) for w in wcol if w is not None and len(w)]
         )
+        # hash UNIQUE words then gather (bit-identical: the hash is
+        # content-only) — ``astype("U")`` materializes a fixed-width
+        # copy of every occurrence and dominated the kernel (measured
+        # 11.7s direct vs 0.19s factorize+gather on 2M words); natural
+        # text repeats words heavily, so uniques << occurrences
+        codes, uniq = pd.factorize(flat)
         wh = (
-            pd.util.hash_array(flat.astype("U")).view(np.int64) % _MERSENNE
+            pd.util.hash_array(np.asarray(uniq, dtype=object).astype("U"))
+            .view(np.int64)[codes]
+            % _MERSENNE
         ).astype(np.int64)
         # FLAT rolling polynomial (no per-doc loop):
         # sh[i] = sum_j wh[i+j]*C^(k-1-j) mod p, truncated at doc ends
@@ -280,12 +288,22 @@ def minhash_dedup_pairs(
     return carry_caches(out, with_sig)
 
 
-def lsh_banded(with_sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def lsh_banded(
+    with_sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Explode an (id, sig) frame to one row per (id, band) with the
     band's bucket hash: bucket = xxhash64 of that band's signature
-    slice. Shared by the one-shot LSH self-join and the persistent
-    incremental index (dedup_incremental.py), which must band
-    identically for cross-batch candidates to collide."""
+    slice. Shared by the one-shot LSH self-join, the persistent
+    incremental index (dedup_incremental.py), and the streaming
+    near-dup monitor (streaming/neardup_stream.py) — all three must
+    band identically for cross-batch candidates to collide.
+
+    ``carry``: extra columns to keep through the explode (the
+    streaming caller carries its event-time column for the
+    watermark)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -304,8 +322,8 @@ def lsh_banded(with_sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         )
     return with_sig.select(
-        "id", "sig", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "sig", "bb.band", "bb.bucket")
+        "id", "sig", *carry, F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "sig", *carry, "bb.band", "bb.bucket")
 
 
 def sig_agreement(sig_a, sig_b, num_hashes: int) -> Column:
@@ -355,7 +373,11 @@ def _simhash_fp_fast(text: Column, shingle_k: int) -> Column:
             [np.asarray(w, dtype=object) for w in wcol if w is not None and len(w)]
         )
         with np.errstate(over="ignore"):
-            wh = pd.util.hash_array(flat.astype("U")).astype(np.uint64)
+            # unique-then-gather, same trick as minhash_signature_fast
+            codes, uniq = pd.factorize(flat)
+            wh = pd.util.hash_array(
+                np.asarray(uniq, dtype=object).astype("U")
+            ).astype(np.uint64)[codes]
             ends = np.cumsum(lens)
             starts = ends - lens
             # FLAT shingle construction, no per-doc loop: shingle s of

@@ -1,0 +1,120 @@
+"""Streaming MinHash near-dup monitor: distinct emitted pairs must
+equal the batch operator over the same corpus, including pairs whose
+two documents arrive in different micro-batches; horizon eviction."""
+
+import datetime as dt
+import os
+import time as _time
+
+from enhydris_autoprocess_spark.cache import release_caches
+from enhydris_autoprocess_spark.streaming import streaming_minhash_neardup
+from enhydris_autoprocess_spark.textops import minhash_dedup_pairs
+
+T0 = dt.datetime(2024, 1, 1, 0, 0)
+SCHEMA = "doc_id string, text string, ts timestamp"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing of morning light"
+)
+ALT = (
+    "completely different content about spark shuffles and partition "
+    "pruning strategies during adaptive query execution at scale"
+)
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def _run(spark, tmp_path, batches, **kw):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        d = f"{in_dir}/b{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        os.utime(os.path.join(d, f), (now - 60 * (len(batches) - i),) * 2)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    out = streaming_minhash_neardup(stream, **kw)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(out_dir)
+
+
+def test_distinct_pairs_equal_batch_including_cross_batch(spark, tmp_path):
+    batch1 = [
+        ("d0", BASE, _mins(0)),
+        ("d1", ALT, _mins(1)),
+        ("d2", BASE.replace("warm", "cold"), _mins(2)),  # near dup of d0
+        ("d3", "der hund und die katze und das haus und ein baum", _mins(3)),
+    ]
+    batch2 = [
+        ("d4", BASE, _mins(4)),  # exact dup of d0/d2, CROSS-batch
+        ("d5", ALT.replace("scale", "depth"), _mins(5)),  # near dup of d1
+        ("d6", "unrelated prose about rivers and hydrology stations", _mins(6)),
+    ]
+    got = _run(spark, tmp_path, [batch1, batch2], threshold=0.5)
+    stream_pairs = {
+        (r.id_a, r.id_b): round(r.est_jaccard, 6) for r in got.collect()
+    }
+
+    corpus = spark.createDataFrame(batch1 + batch2, SCHEMA)
+    batch_df = minhash_dedup_pairs(corpus, threshold=0.5)
+    batch_pairs = {
+        (r.id_a, r.id_b): round(r.est_jaccard, 6) for r in batch_df.collect()
+    }
+    release_caches(batch_df)
+
+    assert stream_pairs == batch_pairs
+    assert ("d0", "d4") in stream_pairs  # the cross-batch duplicate
+    assert ("d1", "d5") in stream_pairs
+
+    # the per-band contract: an exact dup collides in EVERY band, so
+    # (d0, d4) must have been emitted more than once with distinct
+    # band values
+    d04 = [r.band for r in got.collect() if (r.id_a, r.id_b) == ("d0", "d4")]
+    assert len(d04) == len(set(d04)) and len(d04) > 1
+
+
+def test_horizon_evicts_idle_buckets(spark, tmp_path):
+    batch1 = [
+        ("x1", BASE, _mins(0)),
+        ("f1", ALT, _mins(30)),  # advances watermark to min 20
+    ]
+    # a bucket that receives data is invoked with hasTimedOut=False
+    # even past its timeout, so the eviction needs an INTERVENING
+    # batch in which x1's idle buckets (timeout min 10 < watermark 20)
+    # fire their event-time timeout and drop state
+    batch2 = [("g", "der hund und die katze und das haus", _mins(22))]
+    batch3 = [
+        # x1's buckets were evicted: the re-arrival pairs with nothing
+        ("x2", BASE, _mins(25)),
+        # f1's buckets live (last seen min 30): pair emitted
+        ("f2", ALT, _mins(31)),
+    ]
+    got = _run(
+        spark,
+        tmp_path,
+        [batch1, batch2, batch3],
+        threshold=0.5,
+        watermark="10 minutes",
+        horizon_seconds=600,
+    )
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert ("f1", "f2") in pairs
+    assert ("x1", "x2") not in pairs
