@@ -15,14 +15,27 @@ the reference's admin forms; validation rules identical —
                    "soft_lower_bound": 5, "soft_upper_bound": 2500},
   "rate_of_change": {"symmetric": false,
                       "thresholds": [["10min", 2000.0]]},
+  "curve_interpolation": {"periods": [
+      {"start_date": "2024-01-01", "end_date": "2024-12-31",
+       "curve": "0,0\n100,150\n3000,4000"}]},
   "aggregations": [{"target_time_step": "H", "method": "sum",
                      "max_missing": 10,
                      "resulting_timestamp_offset": "1min"}],
+  "quantile_rollups": [{"target_time_step": "1H",
+                         "quantiles": [0.5, 0.95],
+                         "hot_count_threshold": 100000,
+                         "accuracy": 10000}],
   "channel": "text_len",
   "gap_fill": {"enabled": true, "max_gap_slots": 60, "use_sql": false},
+  "fused_rollups": false,
+  "compress_tiers": false,
   "retention": {"checked": 604800, "rollup_1min": 2592000,
                  "rollup_1H": 31536000, "rollup_1D": null}
 }
+
+"curve" accepts the reference's comma/tab CSV form verbatim
+(CurvePeriod.parse_curve; set_curve models.py:350-360); "points" as a
+[[x, y], ...] list is accepted too.
 """
 
 from __future__ import annotations
@@ -35,9 +48,14 @@ from pyspark.sql import SparkSession
 
 
 def load_config(d: dict):
+    import datetime as dt
+
     from enhydris_autoprocess_spark.config import (
         AggregationConfig,
+        CurveInterpolationConfig,
+        CurvePeriod,
         PipelineConfig,
+        QuantileRollupConfig,
         RangeCheckConfig,
         RateOfChangeConfig,
         RoccThreshold,
@@ -45,6 +63,20 @@ def load_config(d: dict):
 
     rc = d.get("range_check")
     roc = d.get("rate_of_change")
+    ci = d.get("curve_interpolation")
+
+    def period(p: dict) -> CurvePeriod:
+        pts = (
+            CurvePeriod.parse_curve(p["curve"])
+            if "curve" in p
+            else tuple((float(x), float(y)) for x, y in p["points"])
+        )
+        return CurvePeriod(
+            dt.date.fromisoformat(p["start_date"]),
+            dt.date.fromisoformat(p["end_date"]),
+            pts,
+        )
+
     return PipelineConfig(
         range_check=RangeCheckConfig(**rc) if rc else None,
         rate_of_change=RateOfChangeConfig(
@@ -53,8 +85,22 @@ def load_config(d: dict):
         )
         if roc
         else None,
+        curve_interpolation=CurveInterpolationConfig(
+            periods=tuple(period(p) for p in ci["periods"])
+        )
+        if ci
+        else None,
         aggregations=tuple(
             AggregationConfig(**a) for a in d.get("aggregations", ())
+        ),
+        quantile_rollups=tuple(
+            QuantileRollupConfig(
+                target_time_step=q["target_time_step"],
+                quantiles=tuple(float(x) for x in q.get("quantiles", (0.5, 0.95))),
+                hot_count_threshold=q.get("hot_count_threshold"),
+                accuracy=int(q.get("accuracy", 10000)),
+            )
+            for q in d.get("quantile_rollups", ())
         ),
         source_time_step=d.get("source_time_step", "1min"),
     )
@@ -108,6 +154,8 @@ def main(argv=None) -> int:
         gap_fill_enabled=bool(gf.get("enabled", True)),
         max_gap_slots=gf.get("max_gap_slots", 60),
         use_sql_gapfill=bool(gf.get("use_sql", False)),
+        fused_rollups=bool(raw.get("fused_rollups", False)),
+        compress_tiers=bool(raw.get("compress_tiers", False)),
     )
     results = pipe.run(transcripts, finalize=args.finalize)
     for r in results:

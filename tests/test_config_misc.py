@@ -193,3 +193,65 @@ def test_range_check_soft_bound_pairing():
         RangeCheckConfig(0.0, 10.0, soft_upper_bound=8.0)
     with pytest.raises(ValueError, match="exceed"):
         RangeCheckConfig(10.0, 0.0)
+
+
+def test_cli_load_config_full_surface():
+    """The spark-submit JSON surface (scripts/run_pipeline.py) must
+    express EVERY PipelineConfig field declaratively — curve periods
+    (both CSV and point-list forms) and quantile tiers included."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from run_pipeline import load_config
+
+    cfg = load_config(
+        {
+            "source_time_step": "1min",
+            "range_check": {"lower_bound": 0, "upper_bound": 3000},
+            "rate_of_change": {
+                "symmetric": True,
+                "thresholds": [["10min", 2000.0]],
+            },
+            "curve_interpolation": {
+                "periods": [
+                    {
+                        "start_date": "2024-01-01",
+                        "end_date": "2024-06-30",
+                        "curve": "0,0\n100,150\n3000,4000",
+                    },
+                    {
+                        "start_date": "2024-07-01",
+                        "end_date": "2024-12-31",
+                        "points": [[0, 1], [100, 160]],
+                    },
+                ]
+            },
+            "aggregations": [
+                {"target_time_step": "H", "method": "sum", "max_missing": 10}
+            ],
+            "quantile_rollups": [
+                {
+                    "target_time_step": "1H",
+                    "quantiles": [0.5, 0.95],
+                    "hot_count_threshold": 1000,
+                }
+            ],
+        }
+    )
+    assert cfg.range_check.upper_bound == 3000
+    assert cfg.rate_of_change.symmetric is True
+    p1, p2 = cfg.curve_interpolation.sorted_periods()
+    assert p1.points == ((0.0, 0.0), (100.0, 150.0), (3000.0, 4000.0))
+    assert p2.points == ((0.0, 1.0), (100.0, 160.0))
+    assert p2.start_date == dt.date(2024, 7, 1)
+    (q,) = cfg.quantile_rollups
+    assert q.quantiles == (0.5, 0.95) and q.hot_count_threshold == 1000
+    assert cfg.aggregations[0].method == "sum"
+
+    # invalid literals must still raise through the JSON path
+    with pytest.raises(ValueError):
+        load_config(
+            {"quantile_rollups": [{"target_time_step": "1H", "quantiles": [1.5]}]}
+        )

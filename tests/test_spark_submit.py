@@ -42,6 +42,12 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
         "aggregations": [
             {"target_time_step": "H", "method": "sum", "max_missing": 100}
         ],
+        # the round-6 declarative surface: quantile tier + fused
+        # rollup mode straight from job JSON
+        "quantile_rollups": [
+            {"target_time_step": "1D", "quantiles": [0.5, 0.9]}
+        ],
+        "fused_rollups": True,
         "gap_fill": {"enabled": False},
         "retention": {"rollup_1min": 86400},
     }
@@ -80,6 +86,7 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "rollup_1D: rows=" in proc.stdout
+    assert "quantile_1D: rows=" in proc.stdout
     assert "retention rollup_1min:" in proc.stdout
 
     # the tiers landed and the retention cutoff (Jan 2) dropped day 1
