@@ -1238,6 +1238,23 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         run_scaling_ladder()
 
+    if os.environ.get("SPARK_GRAFT_ONLY_SCALING", "0") == "1":
+        # Clean-window hunting mode: spend the WHOLE budget on ladder
+        # pairs (probe-gated resume included), skip headline/compressed.
+        # The full bench is ~55 min/run, so catching a quiet host hour
+        # by re-running it is expensive; this mode records a 2-pair
+        # ladder in ~25 min, cheap enough to retry across hours until
+        # clean_pairs lands (VERDICT r05 next-round #2).
+        run_scaling_ladder(resume=True)
+        _cleanup_tmpfs()
+        signal.alarm(0)
+        RESULT["only_scaling"] = True
+        RESULT["value"] = 0.0  # contract key; no headline in this mode
+        RESULT["elapsed_s"] = round(time.monotonic() - _T0, 1)
+        _flush()
+        print(compact_line(RESULT))
+        return
+
     spark = _build(CPUS)
     # Warm up codegen + Python workers once so the first measured query
     # isn't charged for session bring-up (the per-query numbers are
