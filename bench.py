@@ -952,12 +952,18 @@ def run_scaling_ladder(resume: bool = False) -> None:
         eff_all = (_avg(his) / _avg(los)) / 4.0
         clean = _clean_ids()
         eff_clean = None
-        if len(clean) >= 2:
+        if clean:
+            # populated from ONE clean pair onward (round 6): hunts on
+            # this host often land exactly one clean window per budget,
+            # and a single clean pair beats a null next to a
+            # hostile-window median; clean_pair_count says how many
+            # back it
             eff_clean = round(
                 (_avg([his[i] for i in clean]) / _avg([los[i] for i in clean]))
                 / 4.0,
                 3,
             )
+        scal["clean_pair_count"] = len(clean)
         host_eff = sum(p["efficiency_n_to_4n"] for p in probes) / len(probes)
         host_bw = sum(p["bw"] for p in probes) / len(probes)
         lo = dict(max(los, key=lambda r: r["points_per_sec"]))

@@ -136,7 +136,9 @@ class MinHashIndex:
         """
         snaps = self.snapshots()
         if batch_key is not None and any(
-            s.properties.get("batch_key") == batch_key for s in snaps
+            s.properties.get("batch_key") == batch_key
+            or batch_key in s.properties.get("batch_keys", ())
+            for s in snaps
         ):
             raise ValueError(f"batch_key already committed: {batch_key}")
 
@@ -248,3 +250,57 @@ class MinHashIndex:
         os.replace(tmp, self._manifest_path)
 
         return carry_caches(pairs, with_sig)
+
+    def compact(self, min_snapshots: int = 2, vacuum: bool = True) -> int:
+        """Rewrite all committed batch snapshots as ONE (same protocol
+        as ``incremental.py``'s tier compaction): daily crawl batches
+        leave one snapshot directory each, and ``_committed`` reads
+        grow a file-listing + small-file tax per batch — at 10^5
+        batches the candidate join's scan is dominated by open costs,
+        not bytes. Compaction is pure data movement: the same rows,
+        one directory, so results are unchanged (pinned by tests).
+
+        Returns the number of snapshots compacted (0 = below
+        ``min_snapshots``, nothing done). ``vacuum`` deletes the
+        superseded data directories after the manifest swap (readers
+        holding pre-swap plans should finish first — same caveat as
+        tier compaction)."""
+        snaps = self.snapshots()
+        if len(snaps) < min_snapshots:
+            return 0
+        sid = snaps[-1].snapshot_id + 1
+        data_dir = os.path.join(
+            self.root, "data", f"snap-{sid}-compact-{uuid.uuid4().hex[:8]}"
+        )
+        sig = self._committed(snaps, "sig", self._sig_ddl)
+        bkt = self._committed(snaps, "bkt", self._bkt_ddl)
+        sig.write.mode("errorifexists").parquet(os.path.join(data_dir, "sig"))
+        bkt.write.mode("errorifexists").parquet(os.path.join(data_dir, "bkt"))
+        rows = sum(s.row_count for s in snaps)
+        merged = Snapshot(
+            sid,
+            snaps[-1].snapshot_id,
+            data_dir,
+            rows,
+            {
+                "committed_at": time.time(),
+                "compacted_from": [s.snapshot_id for s in snaps],
+                # keep every batch_key so the idempotence guard keeps
+                # rejecting re-submitted batches after compaction
+                "batch_keys": [
+                    s.properties["batch_key"]
+                    for s in snaps
+                    if "batch_key" in s.properties
+                ],
+            },
+        )
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(merged.to_json() + "\n")
+        os.replace(tmp, self._manifest_path)
+        if vacuum:
+            import shutil
+
+            for s in snaps:
+                shutil.rmtree(s.data_dir, ignore_errors=True)
+        return len(snaps)

@@ -126,3 +126,36 @@ def test_long_id_type(spark, tmp_path):
     df = spark.createDataFrame(DOCS[0:5], "doc_id long, text string")
     got = _pairs(idx.append(df))
     assert (0, 3) in got and (0, 4) in got
+
+
+def test_compaction_preserves_results_and_guards(spark, tmp_path):
+    """compact() is pure data movement: pairs found by a post-compact
+    append equal the no-compaction run; batch_key guard survives."""
+    kw = dict(**PARAMS)
+    plain = MinHashIndex(spark, str(tmp_path / "plain"), **kw)
+    comp = MinHashIndex(spark, str(tmp_path / "comp"), **kw)
+    for lo, hi in ((0, 3), (3, 6)):
+        b = _docs_df(spark, DOCS[lo:hi])
+        _pairs(plain.append(b, batch_key=f"b{lo}"))
+        _pairs(comp.append(b, batch_key=f"b{lo}"))
+
+    n = comp.compact()
+    assert n == 2
+    snaps = comp.snapshots()
+    assert len(snaps) == 1
+    assert snaps[0].properties["compacted_from"] == [1, 2]
+    assert snaps[0].properties["batch_keys"] == ["b0", "b3"]
+    # vacuum removed the superseded directories
+    data_root = str(tmp_path / "comp" / "data")
+    assert len(os.listdir(data_root)) == 1
+
+    last = _docs_df(spark, DOCS[6:9])
+    got_plain = _pairs(plain.append(last))
+    got_comp = _pairs(comp.append(last))
+    assert got_comp == got_plain and got_plain  # non-empty, identical
+
+    with pytest.raises(ValueError, match="already committed"):
+        comp.append(_docs_df(spark, DOCS[0:3]), batch_key="b0")
+
+    # below min_snapshots: no-op
+    assert comp.compact(min_snapshots=5) == 0
