@@ -359,6 +359,42 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data admission pipeline —
+    ``scripts/run_textops.py``'s stage order minus the near-dup stage
+    (whose LSH banding is not SQL-expressible; it has its own
+    ``minhash_dedup``/``minhash_dedup_incremental`` oracle entries):
+    exact-dedup keepers -> language allow-list ('en') -> quality floor
+    (0.65) -> token stats. Every stage is a column expression or a
+    semi-join keyed by doc_id — no stage widens the shuffled row."""
+    docs = _documents(spark, sf_dir)
+    keep = (
+        exact_dedup(docs)
+        .where(F.col("dup_of").isNull())
+        .select("doc_id")
+    )
+    docs = docs.join(keep, "doc_id", "left_semi")
+    ok_lang = (
+        language_id(docs)
+        .where(F.col("lang_pred") == "en")
+        .select("doc_id")
+    )
+    docs = docs.join(ok_lang, "doc_id", "left_semi")
+    ok_q = (
+        quality_score(docs)
+        .where(F.col("quality") >= 0.65)
+        .select("doc_id", "quality")
+    )
+    stats = token_stats(docs)  # replaces the source's own n_chars
+    return stats.join(ok_q, "doc_id").select(
+        "doc_id",
+        "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_subwords_est").cast("long").alias("n_subwords_est"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _documents(spark, sf_dir), k=3, threshold=0.2
@@ -646,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "docs_admission": q_docs_admission,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1019,4 +1056,21 @@ def oracle_sql() -> dict[str, str]:
     # over any batch split, so it checks against the same all-pairs
     # Jaccard oracle
     sql["minhash_dedup_incremental"] = sql["minhash_dedup"]
+    # composed admission pipeline: reuses the per-stage oracles as
+    # subqueries so the composition is checked, not re-derived
+    sql["docs_admission"] = f"""
+        WITH keep AS (
+          SELECT doc_id FROM ({sql['dedup_exact']}) WHERE dup_of IS NULL),
+        lang_ok AS (
+          SELECT doc_id FROM ({sql['lang_id']}) WHERE lang_pred = 'en'),
+        q_ok AS (
+          SELECT doc_id, quality FROM ({sql['quality_score']})
+          WHERE quality >= 0.65)
+        SELECT t.doc_id, q_ok.quality, t.n_tokens, t.n_chars,
+               t.n_subwords_est
+        FROM ({sql['token_stats']}) t
+        JOIN keep USING (doc_id)
+        JOIN lang_ok USING (doc_id)
+        JOIN q_ok USING (doc_id)
+    """
     return sql
