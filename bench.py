@@ -181,6 +181,7 @@ def compact_line(result: dict, cap: int = _LINE_CAP_BYTES) -> str:
         k: scal[k]
         for k in (
             "n",
+            "convs",
             "attempts",
             "clean_pairs",
             "efficiency_n_to_4n",
@@ -478,6 +479,17 @@ def _build(cpus: int):
     return s
 
 
+def _input_stamp_ok(input_dir: str, n_convs: int) -> bool:
+    return os.path.exists(
+        os.path.join(input_dir, "_SUCCESS")
+    ) and os.path.exists(os.path.join(input_dir, f"_CONVS_{n_convs}"))
+
+
+def _write_input_stamp(input_dir: str, n_convs: int) -> None:
+    with open(os.path.join(input_dir, f"_CONVS_{n_convs}"), "w") as f:
+        f.write(str(n_convs))
+
+
 def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
     """The scaling workload: JVM-generated transcripts -> checks -> 3
     rollup tiers. JIT/codegen warm-up runs the SAME plan shapes over a
@@ -544,10 +556,14 @@ def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
     # full parallelism — every scaling worker reads the same seeded
     # table, and generating 28M rows on the local[4] leg wasted ~2 min
     # per worker); fall back to generating here for standalone use.
-    if not _os.path.exists(_os.path.join(input_dir, "_SUCCESS")):
+    # The reuse is gated on the SIZE stamp, not just _SUCCESS: a stale
+    # input from a previous run with a different BENCH_CONVS silently
+    # shrank a 480k-conv ladder to 120k convs on 2026-08-18.
+    if not _input_stamp_ok(input_dir, n_convs):
         generate_transcripts_jvm(spark, n_convs=n_convs, seed=42).write.mode(
             "overwrite"
         ).parquet(input_dir)
+        _write_input_stamp(input_dir, n_convs)
     transcripts = spark.read.parquet(input_dir)
     n_turns = transcripts.count()  # metadata count, outside the timed window
 
@@ -1123,7 +1139,7 @@ def run_scaling_ladder(resume: bool = False) -> None:
         if os.path.isdir("/dev/shm")
         else "/tmp/spark-bench-input"
     )
-    if not os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
+    if not _input_stamp_ok(gen_dir, BENCH_CONVS):
         t_gen = time.time()
         gen_spark = _build(CPUS)
         from enhydris_autoprocess_spark.synth import generate_transcripts_jvm
@@ -1131,6 +1147,7 @@ def run_scaling_ladder(resume: bool = False) -> None:
         generate_transcripts_jvm(
             gen_spark, n_convs=BENCH_CONVS, seed=42
         ).write.mode("overwrite").parquet(gen_dir)
+        _write_input_stamp(gen_dir, BENCH_CONVS)
         gen_spark.stop()
         scal["input_gen_seconds"] = round(
             scal.get("input_gen_seconds", 0.0) + time.time() - t_gen, 1
