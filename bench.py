@@ -479,14 +479,30 @@ def _build(cpus: int):
     return s
 
 
+# Parquet codec for the generated ladder input. snappy (default)
+# decodes fastest per byte; zstd reads ~3x fewer bytes off tmpfs at
+# the cost of more (well-scaling) decompression CPU — on this
+# bandwidth-capped box that trade can move a scan-bound leg off the
+# memcpy ceiling, and it is also what a real 100 TB deployment
+# stores (storage cost dominates decode cost there).
+INPUT_CODEC = os.environ.get("SPARK_GRAFT_INPUT_CODEC", "snappy")
+
+
+def _input_stamp(n_convs: int) -> str:
+    # codec participates in the stamp: a snappy input must not be
+    # silently reused by a zstd run (same class of bug as the conv
+    # count, fixed 2026-08-18)
+    return f"_CONVS_{n_convs}_{INPUT_CODEC}"
+
+
 def _input_stamp_ok(input_dir: str, n_convs: int) -> bool:
     return os.path.exists(
         os.path.join(input_dir, "_SUCCESS")
-    ) and os.path.exists(os.path.join(input_dir, f"_CONVS_{n_convs}"))
+    ) and os.path.exists(os.path.join(input_dir, _input_stamp(n_convs)))
 
 
 def _write_input_stamp(input_dir: str, n_convs: int) -> None:
-    with open(os.path.join(input_dir, f"_CONVS_{n_convs}"), "w") as f:
+    with open(os.path.join(input_dir, _input_stamp(n_convs)), "w") as f:
         f.write(str(n_convs))
 
 
@@ -562,7 +578,7 @@ def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
     if not _input_stamp_ok(input_dir, n_convs):
         generate_transcripts_jvm(spark, n_convs=n_convs, seed=42).write.mode(
             "overwrite"
-        ).parquet(input_dir)
+        ).option("compression", INPUT_CODEC).parquet(input_dir)
         _write_input_stamp(input_dir, n_convs)
     transcripts = spark.read.parquet(input_dir)
     n_turns = transcripts.count()  # metadata count, outside the timed window
@@ -913,6 +929,8 @@ def run_scaling_ladder(resume: bool = False) -> None:
             "ladder": [],
             "scal": {
                 "convs": BENCH_CONVS,
+                "input_codec": INPUT_CODEC,
+                "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
                 "n": SCALE_N,
                 "attempts": 0,
                 "pairs_insufficient": True,
@@ -1146,7 +1164,9 @@ def run_scaling_ladder(resume: bool = False) -> None:
 
         generate_transcripts_jvm(
             gen_spark, n_convs=BENCH_CONVS, seed=42
-        ).write.mode("overwrite").parquet(gen_dir)
+        ).write.mode("overwrite").option(
+            "compression", INPUT_CODEC
+        ).parquet(gen_dir)
         _write_input_stamp(gen_dir, BENCH_CONVS)
         gen_spark.stop()
         scal["input_gen_seconds"] = round(

@@ -286,11 +286,20 @@ class MinHashIndex:
                 "committed_at": time.time(),
                 "compacted_from": [s.snapshot_id for s in snaps],
                 # keep every batch_key so the idempotence guard keeps
-                # rejecting re-submitted batches after compaction
+                # rejecting re-submitted batches after compaction —
+                # including keys already folded into an earlier
+                # compacted snapshot's batch_keys list
                 "batch_keys": [
-                    s.properties["batch_key"]
+                    k
                     for s in snaps
-                    if "batch_key" in s.properties
+                    for k in (
+                        *(
+                            [s.properties["batch_key"]]
+                            if "batch_key" in s.properties
+                            else []
+                        ),
+                        *s.properties.get("batch_keys", ()),
+                    )
                 ],
             },
         )

@@ -12,8 +12,11 @@ One batch run composes, in one Spark job per stage family:
     -> language allow-list filter (stopword-vote heuristic)
     -> quality floor filter (composite score)
     -> near-dup check against the PERSISTENT MinHash index
-       (batch-vs-corpus + batch-vs-batch; losers dropped, keepers
-       appended to the index)
+       (batch-vs-corpus + batch-vs-batch; losers dropped from the
+       ADMITTED output; the whole filtered batch — losers included —
+       is indexed, deliberately: a later doc that near-dups a dropped
+       loser but drifts past the keeper's bands is still caught, so
+       chains of drift D1~D2~D3 dedup even when D1!~D3)
     -> token stats attached
     -> admitted docs written + per-stage counts printed
 
@@ -31,8 +34,8 @@ skipped):
 
 Near-dup LOSER rule (deterministic): within each discovered pair the
 larger id is dropped; a doc paired with any already-indexed doc is
-dropped. Keepers are appended to the index so the NEXT batch dedups
-against them — exactly the incremental-crawl contract of
+dropped. The NEXT batch dedups against everything this batch indexed
+— exactly the incremental-crawl contract of
 ``textops.dedup_incremental.MinHashIndex``.
 
 Scale shape: every filter is a column expression or a broadcast

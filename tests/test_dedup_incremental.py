@@ -159,3 +159,13 @@ def test_compaction_preserves_results_and_guards(spark, tmp_path):
 
     # below min_snapshots: no-op
     assert comp.compact(min_snapshots=5) == 0
+
+    # second compaction folds the FIRST compaction's batch_keys
+    # forward along with later singular keys — the guard must keep
+    # rejecting b0/b3 after compact -> append -> compact
+    _pairs(comp.append(_docs_df(spark, DOCS[0:3]), batch_key="b9"))
+    assert comp.compact() == 3
+    keys = comp.snapshots()[0].properties["batch_keys"]
+    assert sorted(keys) == ["b0", "b3", "b9"]
+    with pytest.raises(ValueError, match="already committed"):
+        comp.append(_docs_df(spark, DOCS[0:3]), batch_key="b3")
