@@ -487,6 +487,21 @@ def _build(cpus: int):
 # stores (storage cost dominates decode cost there).
 INPUT_CODEC = os.environ.get("SPARK_GRAFT_INPUT_CODEC", "snappy")
 
+# Which job the scaling legs run (round 6, run 7+):
+#   fused — scan -> checks -> 1min/1H/1D tiers in ONE action. The
+#       engine's peak-throughput kernel; scan/shuffle-dominated, so on
+#       this single box it is capped by the VM's memcpy scaling
+#       (0.82-1.06x of the concurrently-measured bandwidth ceiling on
+#       every round-6 window — see BASELINE.md runs 4-6).
+#   full — Pipeline.run(compress_tiers=True): checks -> pandas/Arrow
+#       gap-fill -> Gorilla-compressed checked tier -> agg tier ->
+#       1min/1H/1D rollups, through storage, exactly the deployed
+#       per-batch flow of the north rule. ~40x more CPU per turn than
+#       the fused kernel, so its scaling measures the ENGINE rather
+#       than the box's DRAM — and it is the more faithful reading of
+#       "rolled-up points/sec" (the metric includes storage).
+LADDER_JOB = os.environ.get("SPARK_GRAFT_LADDER_JOB", "fused")
+
 
 def _input_stamp(n_convs: int) -> str:
     # codec participates in the stamp: a snappy input must not be
@@ -662,6 +677,123 @@ def run_rollup_job(spark, n_convs: int, reps: int = 1) -> dict:
     }
 
 
+def run_full_pipeline_job(spark, n_convs: int, reps: int = 1) -> dict:
+    """Scaling leg = the DEPLOYED pipeline (LADDER_JOB=full): the same
+    pre-generated transcript input, run through ``Pipeline.run`` with
+    ``compress_tiers=True`` into a per-worker tmpfs root — checks with
+    flag propagation, pandas/Arrow gap-fill, Gorilla-compressed checked
+    tier, aggregation tier, 1min/1H/1D rollups, all through storage.
+
+    Rationale (BASELINE.md round-6 runs 4-6): the fused kernel is
+    scan-bound and every window capped it at the box's memcpy scaling
+    (0.6-0.8 across ANY 4x span, moving with the hour). The deployed
+    pipeline spends ~40x more CPU per turn (UDF interpolation, Gorilla
+    encode, tier writes), so its N->4N ratio measures the engine's
+    ability to keep 4x cores busy — which is the north rule's actual
+    question — instead of the VM's DRAM controller. Returns the same
+    contract as run_rollup_job; ``rolled_up_points`` = rows across the
+    agg + rollup tiers (the metric's "rolled-up points"), with the
+    per-stage wall/rows breakdown of the best rep attached.
+    """
+    import shutil
+
+    from enhydris_autoprocess_spark.config import (
+        AggregationConfig,
+        PipelineConfig,
+        RangeCheckConfig,
+        RateOfChangeConfig,
+        RoccThreshold,
+    )
+    from enhydris_autoprocess_spark.pipeline import Pipeline
+    from enhydris_autoprocess_spark.synth import generate_transcripts_jvm
+
+    cfg = PipelineConfig(
+        range_check=RangeCheckConfig(0, 3000, 5, 2500),
+        rate_of_change=RateOfChangeConfig((RoccThreshold("10min", 2000.0),)),
+        aggregations=(AggregationConfig("H", "sum", 10, "1min"),),
+        source_time_step="1min",
+    )
+    input_dir = (
+        "/dev/shm/spark-bench-input"
+        if os.path.isdir("/dev/shm")
+        else "/tmp/spark-bench-input"
+    )
+    if not _input_stamp_ok(input_dir, n_convs):
+        generate_transcripts_jvm(spark, n_convs=n_convs, seed=42).write.mode(
+            "overwrite"
+        ).option("compression", INPUT_CODEC).parquet(input_dir)
+        _write_input_stamp(input_dir, n_convs)
+    transcripts = spark.read.parquet(input_dir)
+    n_turns = transcripts.count()  # metadata count, outside the timed window
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root_base = os.path.join(base, f"spark-bench-fullpipe-{os.getpid()}")
+
+    def job(tag: str, tdf):
+        # fresh root per run: Pipeline checkpoints would incremental-
+        # skip a rerun over the same root (that's a feature in
+        # deployment and a bug in a benchmark rep)
+        root = os.path.join(root_base, tag)
+        shutil.rmtree(root, ignore_errors=True)
+        p = Pipeline(spark, root, cfg, compress_tiers=True)
+        return p.run(tdf, finalize=True)
+
+    try:
+        # warm-up at ~1/16 scale: C2/codegen + Python worker startup
+        # are size-independent (same finding as the fused job's warmup)
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
+        if len(files) > 1:
+            warm = spark.read.parquet(*files[: max(1, len(files) // 16)])
+        else:
+            warm = transcripts.sample(0.0625, seed=0)
+        job("warm", warm)
+
+        best, steal = float("inf"), 0.0
+        best_stages: dict = {}
+        points, checked_rows = 0, 0
+        for rep in range(max(reps, 1)):
+            stat0 = _stat_cpu()
+            t0 = time.time()
+            results = job(f"rep{rep}", transcripts)
+            wall = time.time() - t0
+            rep_steal = _steal_share(stat0, _stat_cpu())
+            if wall < best:
+                best, steal = wall, rep_steal
+                checked_rows = next(
+                    (r.rows_out for r in results if r.stage == "checked"), 0
+                )
+                points = sum(
+                    r.rows_out
+                    for r in results
+                    if r.stage.startswith(("agg_", "rollup_"))
+                )
+                best_stages = {
+                    r.stage: {
+                        "seconds": round(r.seconds, 3),
+                        "rows": r.rows_out,
+                    }
+                    for r in results
+                }
+    finally:
+        shutil.rmtree(root_base, ignore_errors=True)
+    corrected = best * (1.0 - steal)
+    return {
+        "turns": n_turns,
+        "checked_rows": checked_rows,
+        "rolled_up_points": points,
+        "seconds": round(best, 3),
+        "steal_share": round(steal, 4),
+        "seconds_corrected": round(corrected, 3),
+        "points_per_sec": round(points / best, 1),
+        "points_per_sec_corrected": round(points / corrected, 1),
+        "turns_per_sec": round(n_turns / best, 1),
+        "turns_per_sec_corrected": round(n_turns / corrected, 1),
+        "stages": best_stages,
+    }
+
+
 def _stat_cpu() -> tuple[int, int]:
     """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
     line. busy = user+nice+system+irq+softirq — the cycles this VM
@@ -834,7 +966,8 @@ def host_probe(n: int) -> dict:
 
 def _worker(cpus: int, n_convs: int, reps: int = 1) -> None:
     spark = _build(cpus)
-    out = run_rollup_job(spark, n_convs, reps=reps)
+    job = run_full_pipeline_job if LADDER_JOB == "full" else run_rollup_job
+    out = job(spark, n_convs, reps=reps)
     spark.stop()
     # input cleanup happens in the parent after the LAST worker (the
     # pre-generated table is shared across all scaling legs)
@@ -929,6 +1062,7 @@ def run_scaling_ladder(resume: bool = False) -> None:
             "ladder": [],
             "scal": {
                 "convs": BENCH_CONVS,
+                "ladder_job": LADDER_JOB,
                 "input_codec": INPUT_CODEC,
                 "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
                 "n": SCALE_N,
