@@ -226,6 +226,37 @@ def minhash_signature_fast(
     return mh(words)
 
 
+def _min_scan_partitions(df: DataFrame) -> DataFrame:
+    """Raise partition count to the session's default parallelism when
+    the source scan collapsed below it (guide §2.5 "input skew: one
+    huge unsplittable file"): the driver's tables are single-row-group
+    parquet files, so every per-doc Arrow kernel downstream would run
+    in ONE task no matter how many cores the session has. One cheap
+    round-robin shuffle of the raw rows buys full-width parallelism for
+    the expensive kernels; already-wide inputs pass through untouched
+    (never shrinks, so cluster-scale inputs keep their layout)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+_POP_M1 = np.uint64(0x5555555555555555)
+_POP_M2 = np.uint64(0x3333333333333333)
+_POP_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_POP_H01 = np.uint64(0x0101010101010101)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    one, two, four, s56 = (np.uint64(1), np.uint64(2), np.uint64(4), np.uint64(56))
+    with np.errstate(over="ignore"):
+        x = x - ((x >> one) & _POP_M1)
+        x = (x & _POP_M2) + ((x >> two) & _POP_M2)
+        x = (x + (x >> four)) & _POP_M4
+        return (x * _POP_H01) >> s56
+
+
 class _SplitMix:
     """Deterministic 64-bit stream (SplitMix64) for permutation params."""
 
@@ -458,16 +489,18 @@ def simhash_dedup_pairs(
     narrower blocks and bigger candidate sets (the scale trade-off:
     at 64/(k+1) bits per block, expect ~n²/2^(64/(k+1)) candidates per
     block at n docs); keep max_hamming <= 3 for web-scale corpora.
-    Candidates verify by popcount. Output: id_a < id_b, hamming (the
-    persisted fingerprint frame rides along — release with
-    ``cache.release_caches`` after materializing).
+    Candidates verify by popcount. Output: id_a < id_b, hamming.
+    (No cached intermediates since round 7: the fingerprint frame has a
+    single consumer — the per-bucket pair kernel — so nothing needs
+    persisting or releasing.)
     """
-    # persist: the banded self-join references this frame on both
-    # sides, and without the cache the fingerprint kernel runs twice
-    base = df.select(
+    # repartition before the fingerprint kernel: the driver's corpus is
+    # one unsplittable row group, which would serialize the Arrow
+    # kernel on a single core (guide §2.5)
+    base = _min_scan_partitions(df).select(
         F.col(id_col).alias("id"),
         _simhash_fp_fast(F.col(text_col), shingle_k).alias("fp"),
-    ).persist()
+    )
 
     if max_hamming > 15:
         # 16 blocks over 64 bits is the widest split where pigeonhole
@@ -498,24 +531,66 @@ def simhash_dedup_pairs(
     banded = base.select("id", "fp", F.explode(blocks).alias("b")).select(
         "id", "fp", "b.block", "b.chunk"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    out = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Per-bucket numpy popcount instead of the banded SELF-JOIN the
+    # previous release ran (guide §2.3/§8: the join materialized every
+    # colliding pair as a JVM row BEFORE the hamming filter — 110M rows
+    # at 50k docs under the production radius, 26s — where the same
+    # g x g XOR/popcount per bucket is a few hundred M vectorized ops,
+    # and only the pairs INSIDE the radius ever become rows). Output is
+    # identical: same (id_a < id_b, hamming <= max_hamming) pairs, same
+    # popcount, dedup across blocks unchanged.
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, True),
+            T.StructField("id_b", id_type, True),
+            T.StructField("hamming", T.IntegerType(), True),
+        ]
+    )
+    radius = max_hamming
+
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = {"id_a": [], "id_b": [], "hamming": np.array([], np.int32)}
+        if n < 2:
+            return pd.DataFrame(empty)
+        ids = pdf["id"].to_numpy()
+        fp = pdf["fp"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, fp = ids[order], fp[order]
+        out_a, out_b, out_h = [], [], []
+        # row-block the g x g XOR matrix to a few MB per pass
+        ch = max(1, 4_000_000 // n)
+        for i0 in range(0, n - 1, ch):
+            i1 = min(i0 + ch, n)
+            h = _popcount64(fp[i0:i1, None] ^ fp[None, :])
+            ii, jj = np.nonzero(h <= radius)
+            gi = ii + i0
+            keep = jj > gi
+            if keep.any():
+                gi, jj = gi[keep], jj[keep]
+                ia, ib = ids[gi], ids[jj]
+                ne = ia != ib  # duplicate ids never self-pair (a.id < b.id)
+                out_a.append(ia[ne])
+                out_b.append(ib[ne])
+                out_h.append(h[ii[keep], jj][ne].astype(np.int32))
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
+
+    return (
+        banded.groupBy("block", "chunk")
+        .applyInPandas(emit_pairs, schema)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return carry_caches(out, base)
 
 
 def ngram_jaccard_pairs(
