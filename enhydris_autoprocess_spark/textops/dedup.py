@@ -288,7 +288,11 @@ def minhash_dedup_pairs(
     The persisted signature frame is attached to the result — release
     with ``cache.release_caches(out)`` after materializing.
     """
-    with_sig = df.select(
+    # widen the scan BEFORE the signature kernel: the driver's corpus
+    # is a single-row-group parquet file, which would serialize the
+    # Arrow kernel on one core (guide §2.5 "input skew"; measured
+    # 9.2s -> 2.4s at 50k docs on local[32])
+    with_sig = _min_scan_partitions(df).select(
         F.col(id_col).alias("id"),
         minhash_signature_fast(F.col(text_col), num_hashes, shingle_k, seed).alias(
             "sig"
@@ -297,22 +301,37 @@ def minhash_dedup_pairs(
 
     banded = lsh_banded(with_sig, num_hashes, bands)
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
+    # Self-join on (id, band, bucket) ONLY — the previous release
+    # carried the 64-long signature array on BOTH sides of the join
+    # and sort-aggregated pair rows holding two full signatures
+    # (guide §2.3 "shuffle keys and metadata instead of payloads").
+    # The deduped candidate pair set is tiny (LSH buckets are
+    # near-unique away from true near-dups), so signatures re-attach
+    # afterwards by broadcasting the PAIRS against the cached
+    # signature frame — the corpus-side cache is scanned, never
+    # shuffled (the batch-vs-corpus idiom of dedup_incremental.py).
+    bb = banded.select("id", "band", "bucket")
+    a = bb.alias("a")
+    b = bb.alias("b")
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    half = (
+        with_sig.withColumnRenamed("sig", "sig_a")
+        .join(F.broadcast(pair_ids), F.col("id") == F.col("id_a"))
+        .drop("id")
+    )
+    cand = (
+        with_sig.withColumnRenamed("sig", "sig_b")
+        .join(F.broadcast(half), F.col("id") == F.col("id_b"))
+        .drop("id")
     )
     est = sig_agreement("sig_a", "sig_b", num_hashes).alias("est_jaccard")
     out = cand.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
@@ -586,9 +605,33 @@ def simhash_dedup_pairs(
             }
         )
 
+    # repartition-by-key + mapInPandas instead of
+    # groupBy().applyInPandas: the grouped-map path ships ONE Arrow
+    # batch and one Python invocation PER GROUP (~1.3k tiny buckets
+    # here — measured ~3s of pure per-group overhead at sf0.1, guide
+    # §4.1 "how many columns/batches cross"); hash-partitioning by the
+    # key keeps every bucket whole inside one partition, and one
+    # Python call then sweeps all of a partition's buckets.
+    def emit_partition(batches):
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        outs = []
+        for _, g in pdf.groupby(["block", "chunk"], sort=False):
+            r = emit_pairs(g)
+            if len(r):
+                outs.append(r)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
     return (
-        banded.groupBy("block", "chunk")
-        .applyInPandas(emit_pairs, schema)
+        banded.repartition(F.col("block"), F.col("chunk"))
+        .mapInPandas(emit_partition, schema)
         .dropDuplicates(["id_a", "id_b"])
     )
 

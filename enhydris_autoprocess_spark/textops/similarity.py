@@ -20,8 +20,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..cache import carry_caches
-
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -89,6 +87,123 @@ def cosine_fast(a: Column, b: Column) -> Column:
     return cos(a, b)
 
 
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side query set (bounded by the top-k contract: queries
+    are the small broadcast side). Returns (qids, qvecs) with vectors
+    as float64 arrays (None for null vectors — scored NaN, like the
+    old join path's cosine_fast)."""
+    rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [r[0] for r in rows]
+    qvecs = [
+        None if r[1] is None else np.asarray(r[1], dtype=np.float64)
+        for r in rows
+    ]
+    return qids, qvecs
+
+
+def _scored_against_queries(
+    corpus: DataFrame,
+    qids: list,
+    qvecs: list,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    mask_builder,
+) -> DataFrame:
+    """(query_id, neighbor_id, score) for every candidate pair, scored
+    inside ONE mapInPandas kernel against the driver-collected query
+    set (guide §8: every decision depends on a few bytes per row —
+    no pair row carrying two vectors is ever materialized, no corpus
+    explode per band, no dedup of collision duplicates).
+
+    ``mask_builder(V)`` -> (n x len(qids)) bool candidate mask for a
+    batch's (zero-filled-where-invalid) float64 vector matrix; the
+    brute-force variant passes all-True. Invalid corpus rows (null /
+    wrong dim) stay zero rows: their score is 0/0 = NaN, identical to
+    the old path's cosine_fast NaN, and their LSH/IVF bucket is the
+    zero-projection bucket the old signature kernels assigned.
+
+    Scores are the exact einsum arithmetic of ``cosine_fast`` on
+    contiguous row copies — bit-identical to the old scorer."""
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type, True),
+            T.StructField("neighbor_id", id_type, True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    nq = len(qids)
+    qids_arr = np.asarray(qids)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vals = pdf[vec_col].to_numpy(dtype=object)
+            rows = [
+                np.asarray(v, dtype=np.float64)
+                if v is not None and len(v) == dim
+                else None
+                for v in vals
+            ]
+            valid = np.array([r is not None for r in rows], dtype=bool)
+            V = np.zeros((n, dim), dtype=np.float64)
+            if valid.any():
+                V[valid] = np.stack([r for r in rows if r is not None])
+            cand = mask_builder(V)
+            out_q, out_n, out_s = [], [], []
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for j in range(nq):
+                    mask = cand[:, j] & (ids != qids_arr[j])
+                    if not mask.any():
+                        continue
+                    qv = qvecs[j]
+                    sel = np.flatnonzero(mask)
+                    if qv is None:
+                        score = np.full(len(sel), np.nan)
+                    else:
+                        A = np.ascontiguousarray(V[sel])
+                        B = np.repeat(qv[None, :], len(sel), axis=0)
+                        num = np.einsum("ij,ij->i", B, A)
+                        den = np.sqrt(np.einsum("ij,ij->i", B, B)) * np.sqrt(
+                            np.einsum("ij,ij->i", A, A)
+                        )
+                        score = num / den
+                    out_q.append(np.full(len(sel), qids[j]))
+                    out_n.append(ids[sel])
+                    out_s.append(score)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    from .dedup import _min_scan_partitions
+
+    src = _min_scan_partitions(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    )
+    return src.mapInPandas(run, schema)
+
+
+def _rank_topk(scored: DataFrame, k: int, round_digits: int | None) -> DataFrame:
+    if round_digits is not None:
+        scored = scored.withColumn("score", _round6(F.col("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,30 +216,23 @@ def brute_force_cosine_topk(
 
     Output: query_id, neighbor_id, score, rank (1-based). Self-matches
     excluded. Ties broken by neighbor_id for determinism.
+
+    The previous release broadcast-joined queries against the corpus,
+    materializing every (query, corpus) row with BOTH double[dim]
+    vectors before the scorer; the kernel path scores each corpus
+    batch against the driver-collected query set in place, so only
+    (query_id, neighbor_id, score) rows ever exist (guide §2.3/§8).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    qids, qvecs = _collect_queries(queries, id_col, vec_col)
+    dim = next((len(v) for v in qvecs if v is not None), 0) or 64
+
+    def all_true(V):
+        return np.ones((len(V), len(qids)), dtype=bool)
+
+    scored = _scored_against_queries(
+        corpus, qids, qvecs, dim, id_col, vec_col, all_true
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_fast(F.col("qv"), F.col("cv")).alias("score"),
-        )
-    )
-    if round_digits is not None:
-        scored = scored.withColumn("score", _round6(F.col("score")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k, round_digits)
 
 
 def _sign_signature(
@@ -208,38 +316,37 @@ def lsh_cosine_topk(
     """
     rng = np.random.RandomState(seed)
     planes = rng.randn(bands * bits_per_band, dim)
+    P = np.ascontiguousarray(planes.astype(np.float64).T)
+    weights = 1 << np.arange(bits_per_band, dtype=np.int64)
 
-    def signature(vec: Column) -> Column:
-        return _sign_signature(vec, planes, bands, bits_per_band)
+    def pack(V: np.ndarray) -> np.ndarray:
+        signs = (V @ P) > 0
+        return (
+            signs.reshape(len(V), bands, bits_per_band).astype(np.int64)
+            * weights[None, None, :]
+        ).sum(axis=2)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).select(
-        "neighbor_id", "cv", _explode_bands(signature(F.col("cv"))).alias("band", "bucket")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).select(
-        "query_id", "qv", _explode_bands(signature(F.col("qv"))).alias("band", "bucket")
-    )
+    qids, qvecs = _collect_queries(queries, id_col, vec_col)
+    Q = np.stack(
+        [v if v is not None and len(v) == dim else np.zeros(dim) for v in qvecs]
+    ) if qids else np.zeros((0, dim))
+    qpacked = pack(Q) if len(Q) else np.zeros((0, bands), dtype=np.int64)
 
-    cand = (
-        c.join(F.broadcast(q), ["band", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # candidate = bucket collision in ANY band — the same signature
+    # arithmetic as _sign_signature, compared in-kernel instead of a
+    # per-band corpus explode + broadcast join + pair dedup (the old
+    # path shipped bands copies of every corpus vector through the
+    # join and evaluated the cosine UDF on sort-aggregated pair rows;
+    # guide §2.3/§8). Invalid/null vectors pack to the zero-projection
+    # bucket exactly as the old kernel assigned them.
+    def band_match(V):
+        cp = pack(V)
+        return (cp[:, None, :] == qpacked[None, :, :]).any(axis=2)
+
+    scored = _scored_against_queries(
+        corpus, qids, qvecs, dim, id_col, vec_col, band_match
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_fast(F.col("qv"), F.col("cv")).alias("score")
-    )
-    if round_digits is not None:
-        scored = scored.withColumn("score", _round6(F.col("score")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return _rank_topk(scored, k, round_digits)
 
 
 def ivf_cosine_topk(
@@ -303,7 +410,12 @@ def ivf_cosine_topk(
     )
     if not sample_rows:  # unlucky draw on a tiny corpus
         sample_rows = c.select("cv").limit(target).collect()
-    X = np.array([r["cv"] for r in sample_rows], dtype=np.float64)
+    vecs = [r["cv"] for r in sample_rows if r["cv"] is not None]
+    ref_dim = len(vecs[0]) if vecs else 0
+    vecs = [v for v in vecs if len(v) == ref_dim]
+    if not vecs:  # corpus of only null/mismatched vectors
+        vecs = [[0.0] * 64]
+    X = np.array(vecs, dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -316,54 +428,35 @@ def ivf_cosine_topk(
                 cent[j] = v / max(np.linalg.norm(v), 1e-12)
     cent = np.ascontiguousarray(cent)
 
-    def _cells(top: int):
-        """pandas UDF: vector -> its `top` nearest centroid ids."""
-
-        @pandas_udf("array<int>")
-        def cells(col: pd.Series) -> pd.Series:
-            vals = col.to_numpy(dtype=object)
-            dim = cent.shape[1]
-            rows = [
-                np.asarray(v, dtype=np.float64)
-                if v is not None and len(v) == dim
-                else np.zeros(dim)
-                for v in vals
+    dim = cent.shape[1]
+    qids, qvecs = _collect_queries(q, "query_id", "qv")
+    # per-query probe sets, the same argsort arithmetic the old
+    # query-side pandas UDF ran (null/mismatched query vectors probe
+    # the zero-vector's cells, as before)
+    if qids:
+        Qm = np.stack(
+            [
+                v if v is not None and len(v) == dim else np.zeros(dim)
+                for v in qvecs
             ]
-            if not rows:
-                return pd.Series([], dtype=object)
-            V = np.stack(rows)
-            sims = V @ cent.T
-            order = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
-            out = np.empty(len(rows), dtype=object)
-            out[:] = list(order)
-            return pd.Series(out)
+        )
+        qprobes = np.argsort(-(Qm @ cent.T), axis=1)[:, :n_probe].astype(np.int32)
+    else:
+        qprobes = np.zeros((0, n_probe), dtype=np.int32)
 
-        return cells
+    # candidate = corpus row's nearest cell within the query's probe
+    # set, computed in-kernel (guide §2.3/§8: the old path exploded a
+    # cell column, broadcast-joined, and sort-aggregated pair rows
+    # carrying both vectors before the scorer). Invalid corpus rows
+    # assign to the zero-vector's argmax cell, as the old kernel did.
+    def cell_match(V):
+        cells = np.argmax(V @ cent.T, axis=1).astype(np.int32)
+        return (cells[:, None, None] == qprobes[None, :, :]).any(axis=2)
 
-    c_cells = c.select(
-        "neighbor_id", "cv",
-        F.explode(_cells(1)(F.col("cv"))).alias("cell"),
+    scored = _scored_against_queries(
+        c, qids, qvecs, dim, "neighbor_id", "cv", cell_match
     )
-    q_cells = q.select(
-        "query_id", "qv",
-        F.explode(_cells(n_probe)(F.col("qv"))).alias("cell"),
-    )
-    cand = (
-        c_cells.join(F.broadcast(q_cells), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_fast(F.col("qv"), F.col("cv")).alias("score")
-    )
-    if round_digits is not None:
-        scored = scored.withColumn("score", _round6(F.col("score")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return _rank_topk(scored, k, round_digits)
 
 
 def embedding_near_dup_pairs(
@@ -403,40 +496,140 @@ def embedding_near_dup_pairs(
     elif method == "lsh":
         rng = np.random.RandomState(seed)
         planes = rng.randn(bands * bits_per_band, dim)
-        # persist: both sides of the self-join reference this frame;
-        # without the cache the signature UDF evaluates twice
-        sig = base.select(
+        # Per-bucket numpy Gram kernel instead of the banded SELF-JOIN
+        # the previous release ran (guide §2.3/§8, the same fix that
+        # took simhash from a 110M-row pair materialization to a
+        # vectorized per-bucket XOR): the join materialized every
+        # bucket collision as a JVM row carrying TWO double[dim]
+        # vectors, sort-aggregated those rows across an exchange to
+        # dedup, and evaluated the cosine UDF TWICE (once under the
+        # pushed filter, once in the projection — guide §4.4).  Here
+        # each (band, bucket) group computes its g x g cosine matrix
+        # in one BLAS matmul, pre-filters with a safety margin, and
+        # EXACT-rescored survivor pairs (the einsum arithmetic of
+        # ``cosine_fast``, bit-identical to the old scorer) are the
+        # only rows that ever leave Python. The shuffle carries each
+        # doc's RAW float vector once per band — no pair rows, no
+        # double-cast widening, no second UDF pass.
+        raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        sig = raw.select(
             "id",
             "v",
             _explode_bands(
                 _sign_signature(F.col("v"), planes, bands, bits_per_band)
             ).alias("band", "bucket"),
-        ).persist()
-        a, b = sig.alias("a"), sig.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
+        )
+        id_type = df.schema[id_col].dataType
+        kernel_schema = T.StructType(
+            [
+                T.StructField("id_a", id_type, True),
+                T.StructField("id_b", id_type, True),
+                T.StructField("cosine", T.DoubleType(), True),
+            ]
+        )
+        # margin covers matmul-vs-einsum summation-order ulp wobble
+        # plus (for the rounded path) the half-ulp of the 6-dp floor
+        prefilter = threshold - (2e-6 if round_digits is not None else 1e-6)
+        vdim = dim
+
+        def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = {
+                "id_a": [],
+                "id_b": [],
+                "cosine": np.array([], np.float64),
+            }
+            if len(pdf) < 2:
+                return pd.DataFrame(empty)
+            ids_all = pdf["id"].to_numpy()
+            vals = pdf["v"].to_numpy(dtype=object)
+            rows = [
+                np.asarray(x, dtype=np.float64)
+                if x is not None and len(x) == vdim
+                else None
+                for x in vals
+            ]
+            ok = np.array([r is not None for r in rows])
+            if ok.sum() < 2:
+                return pd.DataFrame(empty)
+            ids = ids_all[ok]
+            V = np.stack([r for r in rows if r is not None])
+            order = np.argsort(ids, kind="stable")
+            ids, V = ids[order], V[order]
+            n = len(ids)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / np.sqrt(np.einsum("ij,ij->i", V, V))
+                Vn = V * inv[:, None]
+                out_i, out_j = [], []
+                # row-block the n x n Gram matrix to a few MB per pass
+                ch = max(1, 4_000_000 // n)
+                for i0 in range(0, n - 1, ch):
+                    i1 = min(i0 + ch, n)
+                    G = Vn[i0:i1] @ Vn.T
+                    ii, jj = np.nonzero(G >= prefilter)
+                    gi = ii + i0
+                    keep = jj > gi
+                    if keep.any():
+                        out_i.append(gi[keep])
+                        out_j.append(jj[keep])
+            if not out_i:
+                return pd.DataFrame(empty)
+            gi = np.concatenate(out_i)
+            jj = np.concatenate(out_j)
+            ne = ids[gi] != ids[jj]  # duplicate ids never self-pair
+            gi, jj = gi[ne], jj[ne]
+            if len(gi) == 0:
+                return pd.DataFrame(empty)
+            # exact re-score: the same einsum ops as cosine_fast, so
+            # emitted values are bit-identical to the old scorer's
+            A, B = V[gi], V[jj]
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
             )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("va"),
-                F.col("b.v").alias("vb"),
+            return pd.DataFrame(
+                {"id_a": ids[gi], "id_b": ids[jj], "cosine": num / den}
             )
+
+        # repartition-by-key + mapInPandas instead of
+        # groupBy().applyInPandas: the grouped-map path pays one Arrow
+        # batch + Python call per (band, bucket) group (bands *
+        # 2^bits_per_band of them); partitioning by the key keeps
+        # buckets whole and one Python call sweeps a partition's
+        # buckets (guide §4.1).
+        def emit_partition(batches):
+            chunks = [p for p in batches if len(p)]
+            if not chunks:
+                return
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            outs = []
+            for _, g in pdf.groupby(["band", "bucket"], sort=False):
+                r = emit_pairs(g)
+                if len(r):
+                    outs.append(r)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        scored = (
+            sig.repartition(F.col("band"), F.col("bucket"))
+            .mapInPandas(emit_partition, kernel_schema)
             .dropDuplicates(["id_a", "id_b"])
+        )
+        cos = F.col("cosine")
+        if round_digits is not None:
+            cos = _round6(cos)
+        return scored.select("id_a", "id_b", cos.alias("cosine")).where(
+            F.col("cosine") >= threshold
         )
     else:
         raise ValueError(f"unknown method: {method!r}")
     score = cosine_fast(F.col("va"), F.col("vb"))
     if round_digits is not None:
         score = _round6(score)
-    out = (
+    return (
         pairs.select("id_a", "id_b", score.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
-    if method == "lsh":
-        out = carry_caches(out, sig)
-    return out
