@@ -310,17 +310,25 @@ def minhash_dedup_pairs(
     # afterwards by broadcasting the PAIRS against the cached
     # signature frame — the corpus-side cache is scanned, never
     # shuffled (the batch-vs-corpus idiom of dedup_incremental.py).
+    # pair generation via one groupBy + in-bucket expansion instead of
+    # a sort-merge self-join: one exchange of (id, band, bucket) rows,
+    # and only buckets with >= 2 members (rare away from true
+    # near-dups) expand — measured ~1.15s -> ~0.8s at 50k docs
     bb = banded.select("id", "band", "bucket")
-    a = bb.alias("a")
-    b = bb.alias("b")
     pair_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        bb.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, x -> "
+                    "transform(filter(ids, y -> y > x), "
+                    "y -> named_struct('id_a', x, 'id_b', y))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     half = (
@@ -353,7 +361,15 @@ def lsh_banded(
 
     ``carry``: extra columns to keep through the explode (the
     streaming caller carries its event-time column for the
-    watermark)."""
+    watermark).
+
+    Round 7: the bucket hashes the band's signature longs DIRECTLY
+    (multi-argument xxhash64) instead of hashing a comma-joined string
+    of them — same collision structure (same tuple in, same bucket
+    out), no per-row string materialization (bands strings per doc).
+    Bucket VALUES change: an index or streaming state persisted by a
+    pre-round-7 release must be rebuilt, as its buckets no longer
+    collide with newly banded rows."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -361,13 +377,10 @@ def lsh_banded(
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("bucket"),
             )
         )
