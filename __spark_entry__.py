@@ -228,18 +228,44 @@ def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "user_id", "event_type", _bucket(F.col("ts"), 3600_000_000).alias("ts"), "value"
     )
-    out = ev.groupingSets(
-        [["user_id", "ts"], ["user_id", "event_type", "ts"]],
-        "user_id",
-        "event_type",
-        "ts",
-    ).agg(
+    # Nearly every (user, hour) cell is unique at the driver's
+    # densities, so map-side partial aggregation cannot collapse and
+    # the groupingSets shape shuffles the Expand-doubled rows as
+    # 8-column aggregation states. Instead: one repartition exchange
+    # of the raw 4-column rows keyed by user_id, then each grouping
+    # set as its own aggregation over that exchange — ReuseExchange
+    # shares the shuffle between the two branches, and
+    # hashpartitioning(user_id) satisfies both aggregates' clustered
+    # distributions (user_id is in every grouping set), so no further
+    # exchange appears. Semantically identical to GROUPING SETS
+    # ((user_id, ts), (user_id, event_type, ts)) with
+    # coalesce(event_type, '<all>') applied to both sets.
+    ev = ev.repartition("user_id")
+    aggs = (
         F.count(F.lit(1)).cast("long").alias("n_events"),
         round6(F.sum("value")).alias("value_sum"),
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
     )
-    return out.withColumn("event_type", F.coalesce("event_type", F.lit("<all>")))
+    fine = (
+        ev.groupBy("user_id", "event_type", "ts")
+        .agg(*aggs)
+        .withColumn("event_type", F.coalesce("event_type", F.lit("<all>")))
+    )
+    alls = (
+        ev.groupBy("user_id", "ts")
+        .agg(*aggs)
+        .select(
+            "user_id",
+            F.lit("<all>").alias("event_type"),
+            "ts",
+            "n_events",
+            "value_sum",
+            "value_min",
+            "value_max",
+        )
+    )
+    return fine.unionByName(alls)
 
 
 def q_tier_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,6 +274,11 @@ def q_tier_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "user_id", _bucket(F.col("ts"), 3600_000_000).alias("ts"), "value"
     )
+    # Same groups~=rows property as rollup_hourly: one exchange of raw
+    # 3-column rows keyed by user_id replaces two exchanges of
+    # aggregation states ((user,hour) then (user,day)); both tier
+    # aggregations are clustered-distribution-satisfied by user_id.
+    ev = ev.repartition("user_id")
     t1h = ev.groupBy("user_id", "ts").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("value").alias("value_sum"),

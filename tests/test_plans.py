@@ -109,3 +109,63 @@ def test_parquet_filter_pushdown_reaches_scan(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in p
     assert "ReadSchema: struct<id:bigint,a:bigint>" in p
     assert "b:bigint" not in p
+
+
+def test_rollup_tiers_single_raw_row_exchange(spark, tmp_path):
+    """Round-7 reshape: the hourly/daily tier queries repartition the
+    raw events by user_id once instead of shuffling Expand-doubled
+    aggregation states (rollup_hourly) or shuffling twice
+    (tier_1d_from_1h). The union-of-aggs form must stay row-identical
+    to GROUPING SETS ((user_id, ts), (user_id, event_type, ts)) with
+    both sets' event_type coalesced, and the daily tier's plan must
+    hold a single exchange of the raw rows."""
+    import random
+
+    import __spark_entry__ as e
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            rng.randrange(5),
+            rng.choice(["a", "b", None]),
+            t0 + dt.timedelta(minutes=rng.randrange(0, 60 * 72)),
+            rng.uniform(0, 3000),
+        )
+        for _ in range(400)
+    ]
+    path = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    ).write.parquet(path + "/events.parquet")
+
+    got = e.q_rollup_hourly(spark, path)
+
+    ev = spark.read.parquet(path + "/events.parquet").select(
+        "user_id",
+        "event_type",
+        e._bucket(F.col("ts"), 3600_000_000).alias("ts"),
+        "value",
+    )
+    ref = (
+        ev.groupingSets(
+            [["user_id", "ts"], ["user_id", "event_type", "ts"]],
+            "user_id",
+            "event_type",
+            "ts",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            e.round6(F.sum("value")).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .withColumn("event_type", F.coalesce("event_type", F.lit("<all>")))
+    )
+    assert got.columns == ref.columns
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(got.collect(), key=key) == sorted(ref.collect(), key=key)
+
+    p = _plan(e.q_tier_1d_from_1h(spark, path))
+    assert p.count("Exchange") == 1
+    assert "Expand" not in p
