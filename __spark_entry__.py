@@ -474,12 +474,19 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidates -> exact shingle-Jaccard verification.
 
     Oracle: exact all-pairs Jaccard >= 0.5 (equal iff banding recall
-    is 1 at the gate scale — see section comment)."""
+    is 1 at the gate scale — see section comment).
+
+    est_filter=False: the exact verification below applies the same
+    0.5 threshold the signature-estimate prefilter would, so the
+    prefilter can only drop pairs the exact filter drops too — its
+    broadcast-attach stage (two extra jobs re-scanning the cached
+    signatures) bought nothing. Output is identical: candidates grow
+    to the raw banding set, and the exact filter is unchanged."""
     docs = _documents(spark, sf_dir)
     # persist: the verification stage references the candidate frame
     # twice (semi-join id set + the pair join), and without the cache
     # the whole LSH DAG would evaluate twice
-    cand = minhash_dedup_pairs(docs, threshold=0.5).persist()
+    cand = minhash_dedup_pairs(docs, threshold=0.5, est_filter=False).persist()
     verified = ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
     out = verified.select(
         "id_a", "id_b", round6(F.col("jaccard")).alias("jaccard")

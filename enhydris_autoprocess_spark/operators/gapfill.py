@@ -132,7 +132,12 @@ def _fill_block(
     without it they are dropped (the historical behavior, kept for the
     variant-equality tests on clean data).
     """
-    k = pdf[key_col].to_numpy(dtype=object)
+    # keep the key's NATIVE dtype (int64 keys stay int64): forcing
+    # object here rebuilt the expanded key column as ~span/step x
+    # boxed Python objects, and the Arrow serializer then paid a
+    # per-element conversion on every output row (string keys come
+    # back as object either way)
+    k = pdf[key_col].to_numpy()
     t = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
     v = pdf[value_col].to_numpy(dtype=np.float64)
     fl = pdf[flags_col].to_numpy(dtype=object)

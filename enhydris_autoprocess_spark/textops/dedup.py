@@ -280,6 +280,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 1,
+    est_filter: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding, then
     exact signature-similarity filter.
@@ -287,7 +288,15 @@ def minhash_dedup_pairs(
     Output: id_a < id_b, est_jaccard (fraction of matching minhashes).
     The persisted signature frame is attached to the result — release
     with ``cache.release_caches(out)`` after materializing.
-    """
+
+    ``est_filter=False`` returns the raw banding candidates
+    (id_a, id_b only, no est_jaccard column, ``threshold`` ignored)
+    and skips the signature re-attach stage AND the signature cache —
+    for callers that re-verify candidates with an exact measure
+    anyway (the driver's minhash_dedup gate does exact
+    shingle-Jaccard at the same threshold, so the estimate filter
+    could only remove pairs the exact filter would remove too, and
+    its two broadcast-attach jobs were pure overhead)."""
     # widen the scan BEFORE the signature kernel: the driver's corpus
     # is a single-row-group parquet file, which would serialize the
     # Arrow kernel on one core (guide §2.5 "input skew"; measured
@@ -297,7 +306,10 @@ def minhash_dedup_pairs(
         minhash_signature_fast(F.col(text_col), num_hashes, shingle_k, seed).alias(
             "sig"
         ),
-    ).persist()
+    )
+    if est_filter:
+        # cached only when the attach stage below re-reads it
+        with_sig = with_sig.persist()
 
     banded = lsh_banded(with_sig, num_hashes, bands)
 
@@ -331,6 +343,8 @@ def minhash_dedup_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not est_filter:
+        return pair_ids
     half = (
         with_sig.withColumnRenamed("sig", "sig_a")
         .join(F.broadcast(pair_ids), F.col("id") == F.col("id_a"))
